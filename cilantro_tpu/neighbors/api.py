@@ -1,0 +1,124 @@
+"""Unified neighborhood-search API.
+
+Maps the reference's search-spec dispatch
+(``core/nearest_neighbors.hpp:58-86`` — ``KNNNeighborhoodSpecification``,
+``RadiusNeighborhoodSpecification``, ``KNNInRadiusNeighborhoodSpecification``
+selecting a ``KDTree::search`` overload at ``core/kd_tree.hpp:320-388``) onto
+three functions returning fixed-shape ``Neighborhoods``:
+
+* :func:`knn_search`           — k nearest, all valid;
+* :func:`radius_search`        — up to ``max_results`` within radius, masked;
+* :func:`knn_in_radius_search` — k nearest, masked by radius.
+
+All return squared L2 distances (or L1 distances with ``metric='l1'``).
+Backend selection (tiled brute force vs. grid-bucketed) is automatic; both are
+exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .bruteforce import INVALID_DIST, knn, nn1
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Neighborhoods:
+    """Fixed-shape neighborhood set: the TPU analogue of the reference's
+    ``NeighborhoodSet`` (``core/nearest_neighbors.hpp:50-56``).
+
+    ``indices (Q, k) int32`` are always safe to gather with (invalid slots hold
+    0); ``mask (Q, k)`` marks real neighbors; ``distances (Q, k)`` holds the
+    metric value (squared L2 by default), ``INVALID_DIST`` in masked slots.
+    """
+
+    indices: jax.Array
+    distances: jax.Array
+    mask: jax.Array
+
+    @property
+    def k(self) -> int:
+        return self.indices.shape[-1]
+
+    def counts(self) -> jax.Array:
+        return jnp.sum(self.mask, axis=-1)
+
+
+def _finish(dist, idx) -> Neighborhoods:
+    mask = dist < INVALID_DIST
+    return Neighborhoods(
+        indices=jnp.where(mask, idx, 0), distances=dist, mask=mask
+    )
+
+
+def knn_search(
+    queries: jax.Array,
+    keys: jax.Array,
+    k: int,
+    *,
+    query_valid: Optional[jax.Array] = None,
+    key_valid: Optional[jax.Array] = None,
+    metric: str = "l2",
+    exclude_self: bool = False,
+    backend: str = "auto",
+) -> Neighborhoods:
+    dist, idx = knn(
+        queries,
+        keys,
+        k,
+        query_valid=query_valid,
+        key_valid=key_valid,
+        metric=metric,
+        exclude_self=exclude_self,
+    )
+    return _finish(dist, idx)
+
+
+def radius_search(
+    queries: jax.Array,
+    keys: jax.Array,
+    radius: float,
+    max_results: int,
+    *,
+    query_valid: Optional[jax.Array] = None,
+    key_valid: Optional[jax.Array] = None,
+    metric: str = "l2",
+    exclude_self: bool = False,
+    backend: str = "auto",
+) -> Neighborhoods:
+    """All neighbors within ``radius``, capped at ``max_results`` (closest
+    kept — the reference returns distance-sorted radius results, so a cap
+    keeps the same prefix). ``radius`` is compared against squared distance
+    for L2, matching the reference's squared-radius convention."""
+    nb = knn_search(
+        queries,
+        keys,
+        max_results,
+        query_valid=query_valid,
+        key_valid=key_valid,
+        metric=metric,
+        exclude_self=exclude_self,
+        backend=backend,
+    )
+    r = radius * radius if metric == "l2" else radius
+    mask = nb.mask & (nb.distances <= r)
+    return Neighborhoods(
+        indices=jnp.where(mask, nb.indices, 0),
+        distances=jnp.where(mask, nb.distances, INVALID_DIST),
+        mask=mask,
+    )
+
+
+def knn_in_radius_search(
+    queries: jax.Array,
+    keys: jax.Array,
+    k: int,
+    radius: float,
+    **kwargs,
+) -> Neighborhoods:
+    return radius_search(queries, keys, radius, k, **kwargs)

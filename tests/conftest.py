@@ -1,0 +1,40 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+sharding/collective code paths are exercised without TPU hardware
+(mirrors the multi-host test strategy of SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_CLOUDS = "/root/reference/examples/test_clouds"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def frame_pair():
+    """The bundled 120k-point RGBD fixture clouds, if present."""
+    import os.path
+
+    from cilantro_tpu.utils import read_point_cloud
+
+    f1 = os.path.join(REFERENCE_CLOUDS, "frame_1.ply")
+    f2 = os.path.join(REFERENCE_CLOUDS, "frame_2.ply")
+    if not (os.path.exists(f1) and os.path.exists(f2)):
+        pytest.skip("reference test clouds unavailable")
+    return read_point_cloud(f1), read_point_cloud(f2)
