@@ -1,0 +1,5 @@
+from .sharded import (  # noqa: F401
+    make_mesh,
+    sharded_combined_icp,
+    shard_cloud_arrays,
+)

@@ -1,0 +1,15 @@
+from .transform_estimation import (  # noqa: F401
+    estimate_rigid_point_to_point,
+    estimate_affine_point_to_point,
+    estimate_rigid_combined_metric,
+    estimate_rigid_symmetric_metric,
+    estimate_affine_combined_metric,
+    residuals_combined_metric,
+)
+from .icp import (  # noqa: F401
+    ICPResult,
+    icp,
+    icp_residuals,
+    simple_point_to_point_icp,
+    simple_combined_metric_icp,
+)
