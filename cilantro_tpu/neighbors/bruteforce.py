@@ -59,11 +59,17 @@ def _tile_dist_l1(q: jax.Array, m: jax.Array) -> jax.Array:
 _TILE_DISTS = {"l2": _tile_dist2_l2, "l1": _tile_dist_l1}
 
 
+def _use_pallas(metric: str, dim: int) -> bool:
+    """Dispatch to the fused Pallas kernels on TPU for L2 in ≤ 6 dims (the
+    augmented-coordinate layout holds D+2 ≤ 8 columns)."""
+    return metric == "l2" and dim <= 6 and jax.default_backend() == "tpu"
+
+
 @partial(
     jax.jit,
     static_argnames=("k", "metric", "tile_q", "tile_m", "exclude_self"),
 )
-def knn(
+def _knn_xla(
     queries: jax.Array,
     keys: jax.Array,
     k: int,
@@ -149,8 +155,49 @@ def knn(
     return dist, idx
 
 
+def knn(
+    queries: jax.Array,
+    keys: jax.Array,
+    k: int,
+    *,
+    query_valid: Optional[jax.Array] = None,
+    key_valid: Optional[jax.Array] = None,
+    metric: str = "l2",
+    tile_q: int = 1024,
+    tile_m: int = 2048,
+    exclude_self: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact kNN — fused Pallas kernel on TPU, XLA scan elsewhere.
+
+    See :func:`_knn_xla` for result conventions (squared L2 distances,
+    INVALID_DIST padding).
+    """
+    if _use_pallas(metric, queries.shape[1]):
+        from .pallas_nn import knn_pallas
+
+        return knn_pallas(
+            queries,
+            keys,
+            k,
+            query_valid=query_valid,
+            key_valid=key_valid,
+            exclude_self=exclude_self,
+        )
+    return _knn_xla(
+        queries,
+        keys,
+        k,
+        query_valid=query_valid,
+        key_valid=key_valid,
+        metric=metric,
+        tile_q=tile_q,
+        tile_m=tile_m,
+        exclude_self=exclude_self,
+    )
+
+
 @partial(jax.jit, static_argnames=("metric", "tile_m"))
-def nn1(
+def _nn1_xla(
     queries: jax.Array,
     keys: jax.Array,
     *,
@@ -193,3 +240,29 @@ def nn1(
     if query_valid is not None:
         best_d = jnp.where(query_valid, best_d, INVALID_DIST)
     return best_d, best_i
+
+
+def nn1(
+    queries: jax.Array,
+    keys: jax.Array,
+    *,
+    query_valid: Optional[jax.Array] = None,
+    key_valid: Optional[jax.Array] = None,
+    metric: str = "l2",
+    tile_m: int = 4096,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact single-NN — fused Pallas kernel on TPU, XLA scan elsewhere."""
+    if _use_pallas(metric, queries.shape[1]):
+        from .pallas_nn import nn1_pallas
+
+        return nn1_pallas(
+            queries, keys, query_valid=query_valid, key_valid=key_valid
+        )
+    return _nn1_xla(
+        queries,
+        keys,
+        query_valid=query_valid,
+        key_valid=key_valid,
+        metric=metric,
+        tile_m=tile_m,
+    )
