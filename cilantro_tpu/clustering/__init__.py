@@ -1,0 +1,8 @@
+from .kmeans import KMeansResult, kmeans  # noqa: F401
+from .mean_shift import MeanShiftResult, mean_shift  # noqa: F401
+from .connected_components import (  # noqa: F401
+    ConnectedComponents,
+    connected_components,
+    edge_mask_from_evaluator,
+    propagate_labels,
+)

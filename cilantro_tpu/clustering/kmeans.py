@@ -1,0 +1,113 @@
+"""k-means clustering (Lloyd iterations).
+
+TPU-native redesign of ``include/cilantro/clustering/kmeans.hpp``:
+
+* assignment by brute force is ONE ``(N, K)`` distance matmul + argmin —
+  exactly the compile-time fast path the reference special-cases for L2
+  (``kmeans.hpp:86-120``); there is no kd-tree-over-centroids variant because
+  the matmul already runs at MXU rate for any practical K;
+* centroid update is a ``segment_sum``;
+* empty-cluster repair follows the reference's policy (steal far points,
+  ``kmeans.hpp:133-176``) in batched form: the e-th empty cluster takes the
+  e-th farthest-from-its-centroid point;
+* random init = distinct random points (swap-sampling analogue,
+  ``kmeans.hpp:38-49``).
+
+The whole fit is one jitted ``lax.while_loop``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KMeansResult:
+    centroids: jax.Array  # (K, D)
+    labels: jax.Array  # (N,) int32 — capacity slot K-1 junk for invalid pts
+    iterations: jax.Array  # int32
+    converged: jax.Array  # bool
+
+
+def _assign(points, centroids, valid):
+    """(N,) argmin cluster per point via one matmul-shaped distance block."""
+    pp = jnp.sum(points * points, axis=1, keepdims=True)
+    cc = jnp.sum(centroids * centroids, axis=1)[None, :]
+    cross = points @ centroids.T
+    dist = pp + cc - 2.0 * cross  # (N, K)
+    lab = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    d_min = jnp.take_along_axis(dist, lab[:, None], axis=1)[:, 0]
+    d_min = jnp.where(valid, d_min, -jnp.inf)
+    return lab, d_min
+
+
+def _update(points, labels, valid, k):
+    w = valid.astype(points.dtype)
+    sums = jax.ops.segment_sum(points * w[:, None], labels, num_segments=k)
+    counts = jax.ops.segment_sum(w, labels, num_segments=k)
+    return sums, counts
+
+
+@partial(jax.jit, static_argnames=("num_clusters", "max_iterations"))
+def kmeans(
+    key: jax.Array,
+    points: jax.Array,
+    num_clusters: int,
+    *,
+    valid: Optional[jax.Array] = None,
+    max_iterations: int = 100,
+    tol: float = 1e-7,
+) -> KMeansResult:
+    n, d = points.shape
+    k = num_clusters
+    if valid is None:
+        valid = jnp.ones(n, bool)
+
+    # Distinct random valid points as initial centroids.
+    scores = jax.random.uniform(key, (n,)) + jnp.where(valid, 0.0, 2.0)
+    _, init_idx = jax.lax.top_k(-scores, k)
+    init_centroids = points[init_idx]
+
+    def body(carry):
+        centroids, _, it, _ = carry
+        labels, d_min = _assign(points, centroids, valid)
+        sums, counts = _update(points, labels, valid, k)
+
+        # Empty-cluster repair: e-th empty cluster ← e-th farthest point.
+        empty = counts == 0
+        n_far = min(k, n)
+        _, far_idx = jax.lax.top_k(d_min, n_far)  # farthest valid points
+        empty_rank = jnp.cumsum(empty.astype(jnp.int32)) - 1  # (K,)
+        steal = points[far_idx[jnp.clip(empty_rank, 0, n_far - 1)]]
+        new_centroids = jnp.where(
+            empty[:, None],
+            steal,
+            sums / jnp.maximum(counts, 1.0)[:, None],
+        )
+        shift = jnp.max(jnp.sum((new_centroids - centroids) ** 2, axis=1))
+        return new_centroids, labels, it + 1, shift
+
+    def cond(carry):
+        _, _, it, shift = carry
+        return (it < max_iterations) & (shift >= tol)
+
+    init_state = (
+        init_centroids,
+        jnp.zeros(n, jnp.int32),
+        jnp.array(0, jnp.int32),
+        jnp.array(jnp.inf, points.dtype),
+    )
+    centroids, labels, it, shift = jax.lax.while_loop(cond, body, init_state)
+    labels, _ = _assign(points, centroids, valid)  # final consistent labels
+    return KMeansResult(
+        centroids=centroids,
+        labels=labels,
+        iterations=it,
+        converged=shift < tol,
+    )

@@ -107,16 +107,20 @@ def segment_mean(
     return s / jnp.maximum(denom, 1e-30)[..., None]
 
 
-@partial(jax.jit, static_argnames=("min_points_in_bin",))
+@partial(jax.jit, static_argnames=("min_points_in_bin", "capacity"))
 def grid_downsample(
     cloud: PointCloud,
     bin_size: float,
     min_points_in_bin: int = 1,
+    capacity: Optional[int] = None,
 ) -> PointCloud:
     """Voxel downsample: per-bin mean of points (and colors), sign-consistent
     mean of normals — the union of all four reference downsampler variants
-    (``grid_downsampler.hpp:9-340``). Output capacity equals input capacity;
-    unused slots are mask-invalid.
+    (``grid_downsampler.hpp:9-340``). Output capacity equals input capacity
+    unless ``capacity`` is given; bins occupy the leading slots in voxel
+    lexicographic order (bins beyond ``capacity`` are dropped — choose it
+    generously; the coarse levels of multi-resolution ICP use this to keep NN
+    cost proportional to the downsampled size, not the input capacity).
     """
     n = cloud.capacity
     valid = cloud.valid_mask()
@@ -148,6 +152,11 @@ def grid_downsample(
 
     bin_valid = counts >= min_points_in_bin
     pts = jnp.where(bin_valid[:, None], pts, 1e30)
+    if capacity is not None and capacity < n:
+        pts = pts[:capacity]
+        normals = normals[:capacity] if normals is not None else None
+        colors = colors[:capacity] if colors is not None else None
+        bin_valid = bin_valid[:capacity]
     return PointCloud(points=pts, normals=normals, colors=colors, valid=bin_valid)
 
 

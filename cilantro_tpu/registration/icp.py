@@ -267,3 +267,68 @@ def simple_combined_metric_icp(src_points, dst_points, dst_normals, **kwargs):
     """``SimpleCombinedMetricRigidICP`` equivalent (point-to-plane by default)."""
     kwargs.setdefault("metric", "combined")
     return icp(src_points, dst_points, dst_normals=dst_normals, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution (coarse-to-fine) ICP.
+# ---------------------------------------------------------------------------
+
+
+def icp_multires(
+    src_points,
+    dst_points,
+    *,
+    src_normals=None,
+    dst_normals=None,
+    src_valid=None,
+    dst_valid=None,
+    init: Optional[Transform] = None,
+    levels=((0.02, 10, 16384, 0.0064), (None, 3, None, 0.0004)),
+    **icp_kwargs,
+) -> ICPResult:
+    """Coarse-to-fine ICP: each level is ``(bin_size, max_iterations,
+    capacity, max_corr_dist_sq)``; ``bin_size=None`` runs at full resolution.
+
+    Early levels run on voxel-downsampled clouds (NN cost drops quadratically
+    with the downsample factor on the all-pairs TPU kernel), the final
+    full-resolution level polishes to the same fixed point as single-level
+    ICP. The reference has no multi-resolution mode — this is a TPU-side
+    algorithmic upgrade, not a parity feature; accuracy is validated by the
+    same distort-and-recover tests.
+    """
+    from ..core.containers import PointCloud
+    from ..core.grid import grid_downsample
+
+    tf = init
+    result = None
+    for bin_size, iters, capacity, mcd in levels:
+        if bin_size is None:
+            sp, sn, sv = src_points, src_normals, src_valid
+            dp, dn, dv = dst_points, dst_normals, dst_valid
+        else:
+            sc = grid_downsample(
+                PointCloud(points=src_points, normals=src_normals, valid=src_valid),
+                bin_size,
+                capacity=capacity,
+            )
+            dc = grid_downsample(
+                PointCloud(points=dst_points, normals=dst_normals, valid=dst_valid),
+                bin_size,
+                capacity=capacity,
+            )
+            sp, sn, sv = sc.points, sc.normals, sc.valid
+            dp, dn, dv = dc.points, dc.normals, dc.valid
+        result = icp(
+            sp,
+            dp,
+            src_normals=sn,
+            dst_normals=dn,
+            src_valid=sv,
+            dst_valid=dv,
+            init=tf,
+            max_iterations=iters,
+            max_corr_dist_sq=mcd,
+            **icp_kwargs,
+        )
+        tf = result.transform
+    return result
