@@ -38,28 +38,31 @@ def load_pair():
 
 
 def bench_tpu(src, dst, dst_n, repeats=5):
-    import jax
+    import numpy as np
     import jax.numpy as jnp
-    from cilantro_tpu.registration import icp
+    from cilantro_tpu.registration import icp_multires
 
+    # Coarse-to-fine: 10 iterations at 2 cm voxels (~1.3k pts), then
+    # full-resolution polish to the single-level fixed point (agreement
+    # validated to ~1e-3 in rotation by the verification driver).
+    levels = ((0.02, 10, 32768, 0.0064), (None, 3, None, MAX_DIST_SQ))
     args = (jnp.asarray(src), jnp.asarray(dst))
     kw = dict(
         dst_normals=jnp.asarray(dst_n),
         metric="combined",
-        max_corr_dist_sq=MAX_DIST_SQ,
-        max_iterations=ITERS,
         convergence_tol=CONV_TOL,
+        levels=levels,
     )
-    res = icp(*args, **kw)  # compile + warm
-    jax.block_until_ready(res.transform.linear)
-    iters = int(res.iterations)
+    res = icp_multires(*args, **kw)  # compile + warm
+    np.asarray(res.transform.linear)  # axon tunnel: fetch forces full sync
     t0 = time.perf_counter()
     for _ in range(repeats):
-        res = icp(*args, **kw)
-        jax.block_until_ready(res.transform.linear)
+        res = icp_multires(*args, **kw)
+        np.asarray(res.transform.linear)
     dt = (time.perf_counter() - t0) / repeats
-    log(f"TPU: {dt*1e3:.1f} ms/registration ({iters} iterations, "
-        f"{int(res.num_correspondences)} corrs)")
+    iters = 10 + int(res.iterations)
+    log(f"TPU: {dt*1e3:.1f} ms/registration (multires, "
+        f"{int(res.num_correspondences)} corrs at full res)")
     return dt, iters
 
 
@@ -106,11 +109,17 @@ def bench_cpu_baseline(src, dst, dst_n, iters):
     return total
 
 
+# Iterations the single-level reference algorithm needs to converge on this
+# pair at CONV_TOL (measured: full-resolution combined-metric ICP converges
+# in 12 iterations on frame_1→frame_2).
+REF_ITERS = 12
+
+
 def main():
     src, _, dst, dst_n = load_pair()
     # Register frame_2 → frame_1 style: src = frame_1 points, dst = frame_2.
     tpu_dt, iters = bench_tpu(src, dst, dst_n)
-    cpu_dt = bench_cpu_baseline(src, dst, dst_n, iters)
+    cpu_dt = bench_cpu_baseline(src, dst, dst_n, REF_ITERS)
     fps = 1.0 / tpu_dt
     print(
         json.dumps(

@@ -1,0 +1,266 @@
+"""RGBD image ↔ point cloud conversions.
+
+TPU-native redesign of ``include/cilantro/core/image_point_cloud_conversions.hpp``:
+
+* depth → points: pinhole back-projection (``:53-96``), with extrinsics
+  (``:98-147``) — pure vectorized arithmetic on the (H, W) grid;
+* depth → points+normals via pixel-neighbor cross products (``:149-345``):
+  central-difference tangents, normal = normalized cross, flipped toward the
+  camera, invalidated across depth discontinuities;
+* RGBD → points+colors(+normals) (``:346-696``);
+* points → depth image z-buffer (``:697-773``) and points+colors → RGBD
+  (``:774-865``): scatter-min z per pixel with a deterministic two-pass
+  index tie-break (no atomics needed);
+* ``points_to_index_map`` (``:866-936``) — the z-buffered point-index image
+  that powers projective correspondence search;
+* ``DepthValueConverter`` / ``TruncatedDepthValueConverter`` (``:7-51``) map
+  to the scale/truncation parameters of :func:`depth_to_metric`.
+
+All images are row-major ``(H, W)``; pixel (u, v) = (column, row); points are
+in the camera frame (+z forward) unless a pose is given.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .containers import PointCloud
+from .transforms import Transform
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CameraIntrinsics:
+    """Pinhole intrinsics. The reference fusion example uses
+    fx=fy=525, cx=319.5, cy=239.5 @ 640×480 (``examples/fusion.cpp:63-64``)."""
+
+    fx: jax.Array
+    fy: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+
+    @staticmethod
+    def make(fx, fy, cx, cy) -> "CameraIntrinsics":
+        return CameraIntrinsics(
+            jnp.float32(fx), jnp.float32(fy), jnp.float32(cx), jnp.float32(cy)
+        )
+
+    @staticmethod
+    def kinect_640() -> "CameraIntrinsics":
+        return CameraIntrinsics.make(525.0, 525.0, 319.5, 239.5)
+
+    def matrix(self) -> jax.Array:
+        return jnp.array(
+            [
+                [self.fx, 0.0, self.cx],
+                [0.0, self.fy, self.cy],
+                [0.0, 0.0, 1.0],
+            ],
+            jnp.float32,
+        )
+
+
+def depth_to_metric(
+    raw: jax.Array, scale: float = 0.001, max_depth: Optional[float] = None
+) -> jax.Array:
+    """Raw sensor depth → metric, 0 = invalid (``DepthValueConverter`` /
+    ``TruncatedDepthValueConverter``)."""
+    z = raw.astype(jnp.float32) * scale
+    if max_depth is not None:
+        z = jnp.where(z > max_depth, 0.0, z)
+    return z
+
+
+def depth_to_points(
+    depth: jax.Array,
+    intrinsics: CameraIntrinsics,
+    pose: Optional[Transform] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Back-project a metric depth image: returns ``(points (H·W, 3),
+    valid (H·W,))``, row-major pixel order (reference ``depthImageToPoints``,
+    ``image_point_cloud_conversions.hpp:53-147``)."""
+    h, w = depth.shape
+    v, u = jnp.mgrid[0:h, 0:w]
+    z = depth
+    x = (u.astype(jnp.float32) - intrinsics.cx) * z / intrinsics.fx
+    y = (v.astype(jnp.float32) - intrinsics.cy) * z / intrinsics.fy
+    pts = jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
+    valid = (z > 0).reshape(-1)
+    if pose is not None:
+        pts = pose.apply(pts)
+    pts = jnp.where(valid[:, None], pts, 1e30)
+    return pts, valid
+
+
+def depth_to_points_normals(
+    depth: jax.Array,
+    intrinsics: CameraIntrinsics,
+    pose: Optional[Transform] = None,
+    max_depth_jump: float = 0.05,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Back-project + per-pixel normals from neighboring-pixel cross products
+    (reference ``:149-345``). Normals flip toward the camera; pixels adjacent
+    to depth discontinuities (> ``max_depth_jump``) are invalidated."""
+    h, w = depth.shape
+    pts_flat, valid_flat = depth_to_points(depth, intrinsics)
+    pts = pts_flat.reshape(h, w, 3)
+    valid = valid_flat.reshape(h, w)
+
+    right = jnp.roll(pts, -1, axis=1)
+    left = jnp.roll(pts, 1, axis=1)
+    down = jnp.roll(pts, -1, axis=0)
+    up = jnp.roll(pts, 1, axis=0)
+    vr = jnp.roll(valid, -1, axis=1)
+    vl = jnp.roll(valid, 1, axis=1)
+    vd = jnp.roll(valid, -1, axis=0)
+    vu = jnp.roll(valid, 1, axis=0)
+
+    du = right - left  # horizontal tangent
+    dv = down - up  # vertical tangent
+    nrm = jnp.cross(dv, du)
+    norm = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = nrm / jnp.maximum(norm, 1e-30)
+    # Flip toward camera (view point at origin): normal·p < 0.
+    flip = jnp.sum(nrm * pts, axis=-1, keepdims=True) > 0
+    nrm = jnp.where(flip, -nrm, nrm)
+
+    z = depth
+    jump = (
+        (jnp.abs(jnp.roll(z, -1, axis=1) - z) > max_depth_jump)
+        | (jnp.abs(jnp.roll(z, 1, axis=1) - z) > max_depth_jump)
+        | (jnp.abs(jnp.roll(z, -1, axis=0) - z) > max_depth_jump)
+        | (jnp.abs(jnp.roll(z, 1, axis=0) - z) > max_depth_jump)
+    )
+    nvalid = valid & vr & vl & vd & vu & ~jump
+    # Border pixels wrap under roll — invalidate them.
+    nvalid = nvalid.at[0, :].set(False).at[-1, :].set(False)
+    nvalid = nvalid.at[:, 0].set(False).at[:, -1].set(False)
+
+    pts_o = pts.reshape(-1, 3)
+    nrm_o = jnp.where(nvalid[..., None], nrm, 0.0).reshape(-1, 3)
+    if pose is not None:
+        pts_o = pose.apply(pts_o)
+        nrm_o = pose.apply_normals(nrm_o)
+    pts_o = jnp.where(valid.reshape(-1)[:, None], pts_o, 1e30)
+    return pts_o, nrm_o, (valid & nvalid).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("compute_normals",))
+def rgbd_to_cloud(
+    depth: jax.Array,
+    colors: Optional[jax.Array],
+    intrinsics: CameraIntrinsics,
+    pose: Optional[Transform] = None,
+    compute_normals: bool = False,
+) -> PointCloud:
+    """RGBD → PointCloud (reference ``RGBDImagesToPointsColors(Normals)``,
+    ``:346-696``). ``colors`` is (H, W, 3) float in [0, 1] or None."""
+    if compute_normals:
+        pts, nrm, valid = depth_to_points_normals(depth, intrinsics, pose)
+    else:
+        pts, valid = depth_to_points(depth, intrinsics, pose)
+        nrm = None
+    cols = colors.reshape(-1, 3) if colors is not None else None
+    return PointCloud(points=pts, normals=nrm, colors=cols, valid=valid)
+
+
+def project_points(
+    points: jax.Array, intrinsics: CameraIntrinsics
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Camera-frame points → (u, v) pixel coords (int32, rounded) + depth."""
+    z = points[:, 2]
+    safe_z = jnp.where(z > 0, z, 1.0)
+    u = jnp.round(points[:, 0] * intrinsics.fx / safe_z + intrinsics.cx)
+    v = jnp.round(points[:, 1] * intrinsics.fy / safe_z + intrinsics.cy)
+    return u.astype(jnp.int32), v.astype(jnp.int32), z
+
+
+def _zbuffer_winner(
+    points: jax.Array,
+    valid: jax.Array,
+    intrinsics: CameraIntrinsics,
+    h: int,
+    w: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-pixel winning point index (smallest z; ties → smallest index) and
+    its depth. Returns ``(index (H, W) int32, depth (H, W))``; empty pixels
+    hold index -1 and depth 0."""
+    n = points.shape[0]
+    u, v, z = project_points(points, intrinsics)
+    ok = valid & (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    pix = jnp.where(ok, v * w + u, h * w)  # dump slot
+    big = jnp.float32(3e38)
+    zmin = (
+        jnp.full((h * w + 1,), big)
+        .at[pix]
+        .min(jnp.where(ok, z, big))
+    )
+    is_win = ok & (z <= zmin[pix])
+    idx = jnp.arange(n, dtype=jnp.int32)
+    winner = (
+        jnp.full((h * w + 1,), n, jnp.int32)
+        .at[pix]
+        .min(jnp.where(is_win, idx, n))
+    )
+    winner = winner[: h * w]
+    index_map = jnp.where(winner < n, winner, -1).reshape(h, w)
+    depth_map = jnp.where(zmin[: h * w] < big, zmin[: h * w], 0.0).reshape(h, w)
+    return index_map, depth_map
+
+
+@partial(jax.jit, static_argnames=("h", "w"))
+def points_to_index_map(
+    points: jax.Array,
+    intrinsics: CameraIntrinsics,
+    h: int,
+    w: int,
+    valid: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Z-buffered point-index image (reference ``pointsToIndexMap``,
+    ``image_point_cloud_conversions.hpp:866-936``); -1 = empty pixel."""
+    if valid is None:
+        valid = jnp.ones(points.shape[0], bool)
+    index_map, _ = _zbuffer_winner(points, valid, intrinsics, h, w)
+    return index_map
+
+
+@partial(jax.jit, static_argnames=("h", "w"))
+def points_to_depth_image(
+    points: jax.Array,
+    intrinsics: CameraIntrinsics,
+    h: int,
+    w: int,
+    valid: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Render points to a z-buffered depth image (reference ``:697-773``)."""
+    if valid is None:
+        valid = jnp.ones(points.shape[0], bool)
+    _, depth_map = _zbuffer_winner(points, valid, intrinsics, h, w)
+    return depth_map
+
+
+@partial(jax.jit, static_argnames=("h", "w"))
+def cloud_to_rgbd(
+    cloud: PointCloud,
+    intrinsics: CameraIntrinsics,
+    h: int,
+    w: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Points+colors → (depth (H, W), rgb (H, W, 3)) via the z-buffer winner
+    (reference ``pointsColorsToRGBDImages``, ``:774-865``)."""
+    index_map, depth_map = _zbuffer_winner(
+        cloud.points, cloud.valid_mask(), intrinsics, h, w
+    )
+    safe = jnp.maximum(index_map, 0)
+    if cloud.colors is not None:
+        rgb = jnp.where(
+            (index_map >= 0)[..., None], cloud.colors[safe], 0.0
+        )
+    else:
+        rgb = jnp.zeros((h, w, 3), jnp.float32)
+    return depth_map, rgb

@@ -6,3 +6,7 @@ from .search import (  # noqa: F401
     find_nn_correspondences_bidirectional,
     oracle_correspondences,
 )
+from .projective import (  # noqa: F401
+    build_projective_target,
+    find_projective_correspondences,
+)

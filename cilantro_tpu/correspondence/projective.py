@@ -1,0 +1,73 @@
+"""Projective (O(1)-per-point) correspondence search for organized clouds.
+
+TPU-native redesign of
+``include/cilantro/correspondence_search/correspondence_search_projective.hpp``:
+
+* the destination cloud is rendered ONCE into a z-buffered index map
+  (``:161-167`` → :func:`cilantro_tpu.core.rgbd.points_to_index_map`);
+* each ICP iteration projects the transformed source points through the
+  intrinsics and reads the hit index (``:184-198``) — one gather instead of
+  an NN search; the distance gate matches the kd-tree search semantics.
+
+This is the fusion pipeline's fast path (reference ``examples/fusion.cpp``
+uses it for frame-to-model localization) — per-iteration cost is O(N), about
+two orders of magnitude below the all-pairs NN kernel at 120k points.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.rgbd import CameraIntrinsics, points_to_index_map, project_points
+from ..core.transforms import Transform
+from ..neighbors.bruteforce import INVALID_DIST
+from .search import Correspondences
+
+
+def build_projective_target(
+    dst_points: jax.Array,
+    intrinsics: CameraIntrinsics,
+    h: int,
+    w: int,
+    dst_valid: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Precompute the dst index map (cache it across ICP iterations, as the
+    reference caches its index image)."""
+    return points_to_index_map(dst_points, intrinsics, h, w, valid=dst_valid)
+
+
+def find_projective_correspondences(
+    src_points: jax.Array,
+    dst_points: jax.Array,
+    index_map: jax.Array,
+    intrinsics: CameraIntrinsics,
+    *,
+    tf: Optional[Transform] = None,
+    src_valid: Optional[jax.Array] = None,
+    max_distance: Optional[float] = None,
+) -> Correspondences:
+    """Project (transformed) src points; correspondence = dst point rendered
+    at the hit pixel. ``max_distance`` gates squared 3D distance."""
+    h, w = index_map.shape
+    s = src_points if tf is None else tf.apply(src_points)
+    u, v, z = project_points(s, intrinsics)
+    in_img = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    pix_idx = jnp.where(in_img, v * w + u, 0)
+    hit = index_map.reshape(-1)[pix_idx]
+    mask = in_img & (hit >= 0)
+    if src_valid is not None:
+        mask &= src_valid
+    safe_hit = jnp.where(mask, hit, 0)
+    diff = dst_points[safe_hit] - s
+    dist = jnp.sum(diff * diff, axis=-1)
+    if max_distance is not None:
+        mask &= dist <= max_distance
+    return Correspondences(
+        dst_idx=jnp.where(mask, safe_hit, 0),
+        distances=jnp.where(mask, dist, INVALID_DIST),
+        weights=mask.astype(src_points.dtype),
+        mask=mask,
+    )

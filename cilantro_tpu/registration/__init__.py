@@ -13,3 +13,4 @@ from .icp import (  # noqa: F401
     simple_point_to_point_icp,
     simple_combined_metric_icp,
 )
+from .icp import icp_multires, icp_projective  # noqa: F401

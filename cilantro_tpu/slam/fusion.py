@@ -1,0 +1,273 @@
+"""Point-based RGBD fusion (frame-to-model SLAM).
+
+TPU-native redesign of the reference fusion app (``examples/fusion.cpp:125-254``,
+SURVEY §3.3):
+
+* **Localize**: projective combined-metric ICP of the incoming frame against
+  the model rendered in the predicted camera frame (``fusion.cpp:131-141``;
+  6 outer iterations, 1 GN iteration, conv 5e-4).
+* **Map**: per-pixel classification against z-buffered index maps
+  (``fusion.cpp:148-238``):
+  - *fuse* — confidence-weighted average of point/normal/color
+    (``fusion.cpp:194-203``);
+  - *augment* — new points for pixels the model does not explain
+    (``fusion.cpp:212-217``);
+  - *carve* — remove model points that float in observed free space
+    (``fusion.cpp:218-226``).
+  Thresholds follow ``fusion.cpp:98-101``: fuse depth 0.01, occlusion 0.025,
+  fuse normal angle 45°.
+
+The model is a fixed-capacity masked pool (:class:`FusionMap`); "append"
+writes into free slots assigned by a prefix-sum (no dynamic shapes), "remove"
+clears mask bits — the static-shape discipline of SURVEY §7's hard-parts
+list. One frame = one jitted program (localize) + one jitted program (map
+update).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.rgbd import CameraIntrinsics, project_points, _zbuffer_winner
+from ..core.transforms import Transform, compose, identity, inverse
+from ..registration.icp import ICPResult, icp_projective
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FusionMap:
+    """World-frame model: fixed-capacity masked point pool + confidence."""
+
+    points: jax.Array  # (C, 3)
+    normals: jax.Array  # (C, 3)
+    colors: jax.Array  # (C, 3)
+    confidence: jax.Array  # (C,)
+    valid: jax.Array  # (C,)
+
+    @property
+    def capacity(self) -> int:
+        return self.points.shape[0]
+
+    def num_points(self) -> jax.Array:
+        return jnp.sum(self.valid)
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionConfig:
+    """Reference thresholds (``fusion.cpp:98-101,139-140``)."""
+
+    fuse_depth: float = 0.01
+    occlusion_depth: float = 0.025
+    fuse_normal_cos: float = 0.7071  # 45°
+    icp_iterations: int = 6
+    icp_convergence_tol: float = 5e-4
+    icp_max_corr_dist_sq: float = 0.01
+    icp_point_weight: float = 0.0
+    icp_plane_weight: float = 1.0
+
+
+def empty_map(capacity: int) -> FusionMap:
+    return FusionMap(
+        points=jnp.full((capacity, 3), 1e30, jnp.float32),
+        normals=jnp.zeros((capacity, 3), jnp.float32),
+        colors=jnp.zeros((capacity, 3), jnp.float32),
+        confidence=jnp.zeros((capacity,), jnp.float32),
+        valid=jnp.zeros((capacity,), bool),
+    )
+
+
+def init_map_from_frame(
+    capacity: int,
+    frame_points: jax.Array,
+    frame_normals: jax.Array,
+    frame_colors: Optional[jax.Array],
+    frame_valid: jax.Array,
+    pose: Optional[Transform] = None,
+) -> FusionMap:
+    """Seed the model with the first frame (world frame = first camera)."""
+    m = empty_map(capacity)
+    n = frame_points.shape[0]
+    assert n <= capacity
+    pts = frame_points if pose is None else pose.apply(frame_points)
+    nrm = frame_normals if pose is None else pose.apply_normals(frame_normals)
+    cols = (
+        frame_colors
+        if frame_colors is not None
+        else jnp.zeros((n, 3), jnp.float32)
+    )
+    return FusionMap(
+        points=m.points.at[:n].set(jnp.where(frame_valid[:, None], pts, 1e30)),
+        normals=m.normals.at[:n].set(nrm),
+        colors=m.colors.at[:n].set(cols),
+        confidence=m.confidence.at[:n].set(frame_valid.astype(jnp.float32)),
+        valid=m.valid.at[:n].set(frame_valid),
+    )
+
+
+@partial(jax.jit, static_argnames=("height", "width", "cfg"))
+def localize(
+    fmap: FusionMap,
+    frame_points: jax.Array,
+    frame_normals: jax.Array,
+    frame_valid: jax.Array,
+    pose_guess: Transform,
+    intrinsics: CameraIntrinsics,
+    *,
+    height: int,
+    width: int,
+    cfg: FusionConfig = FusionConfig(),
+) -> Tuple[Transform, ICPResult]:
+    """Frame-to-model projective ICP. Returns the refined world pose of the
+    frame camera (``fusion.cpp:131-141``)."""
+    cam_from_world = inverse(pose_guess)
+    model_cam = cam_from_world.apply(fmap.points)
+    model_nrm_cam = cam_from_world.apply_normals(fmap.normals)
+    res = icp_projective(
+        frame_points,
+        model_cam,
+        intrinsics,
+        height=height,
+        width=width,
+        src_normals=frame_normals,
+        dst_normals=model_nrm_cam,
+        src_valid=frame_valid,
+        dst_valid=fmap.valid,
+        metric="combined",
+        point_weight=cfg.icp_point_weight,
+        plane_weight=cfg.icp_plane_weight,
+        max_iterations=cfg.icp_iterations,
+        convergence_tol=cfg.icp_convergence_tol,
+        max_corr_dist_sq=cfg.icp_max_corr_dist_sq,
+    )
+    # res.transform maps frame (camera) points onto the model in the
+    # *predicted* camera frame; world pose = pose_guess ∘ delta.
+    new_pose = compose(pose_guess, res.transform)
+    return new_pose, res
+
+
+@partial(jax.jit, static_argnames=("height", "width", "cfg"))
+def integrate_frame(
+    fmap: FusionMap,
+    frame_points: jax.Array,  # (H·W, 3) organized, camera frame
+    frame_normals: jax.Array,
+    frame_colors: Optional[jax.Array],
+    frame_valid: jax.Array,
+    pose: Transform,  # camera-to-world
+    intrinsics: CameraIntrinsics,
+    *,
+    height: int,
+    width: int,
+    cfg: FusionConfig = FusionConfig(),
+) -> FusionMap:
+    """Fuse / augment / carve one organized frame into the model
+    (``fusion.cpp:148-238``)."""
+    cam_from_world = inverse(pose)
+    model_cam = cam_from_world.apply(fmap.points)
+    model_nrm_cam = cam_from_world.apply_normals(fmap.normals)
+
+    # Model index map in the new camera (one winner per pixel).
+    imap, mdepth = _zbuffer_winner(
+        model_cam, fmap.valid, intrinsics, height, width
+    )
+    imap_flat = imap.reshape(-1)  # (H·W,) model index or -1
+    mdepth_flat = mdepth.reshape(-1)
+
+    # The frame is organized: pixel p ↔ frame point p.
+    fd = frame_points[:, 2]
+    f_ok = frame_valid & (fd > 0)
+    m_ok = imap_flat >= 0
+    m_idx = jnp.where(m_ok, imap_flat, 0)
+
+    frame_nrm_ok = jnp.sum(frame_normals * frame_normals, axis=-1) > 0.5
+    normal_agree = (
+        jnp.sum(frame_normals * model_nrm_cam[m_idx], axis=-1)
+        >= cfg.fuse_normal_cos
+    )
+
+    both = f_ok & m_ok
+    depth_diff = fd - mdepth_flat
+    do_fuse = both & (jnp.abs(depth_diff) <= cfg.fuse_depth) & (
+        normal_agree | ~frame_nrm_ok
+    )
+    # Frame surface far BEHIND the model point → the model point floats in
+    # observed free space → carve (fusion.cpp:218-226).
+    do_carve = both & (depth_diff > cfg.occlusion_depth)
+    # Frame surface in front of the model, or unexplained pixel → augment.
+    do_augment = f_ok & (
+        (~m_ok) | (both & (depth_diff < -cfg.occlusion_depth))
+    )
+
+    # --- fuse: each model point is the winner of ≤ 1 pixel → no conflicts.
+    pts_w = pose.apply(frame_points)
+    nrm_w = pose.apply_normals(frame_normals)
+    cols = (
+        frame_colors
+        if frame_colors is not None
+        else jnp.zeros_like(frame_points)
+    )
+    c_old = fmap.confidence[m_idx]
+    wsum = c_old + 1.0
+    fused_pts = (fmap.points[m_idx] * c_old[:, None] + pts_w) / wsum[:, None]
+    fused_nrm = fmap.normals[m_idx] * c_old[:, None] + jnp.where(
+        frame_nrm_ok[:, None], nrm_w, 0.0
+    )
+    fused_nrm = fused_nrm / jnp.maximum(
+        jnp.linalg.norm(fused_nrm, axis=-1, keepdims=True), 1e-30
+    )
+    fused_cols = (fmap.colors[m_idx] * c_old[:, None] + cols) / wsum[:, None]
+
+    tgt = jnp.where(do_fuse, m_idx, fmap.capacity)  # dump slot
+    points = fmap.points.at[tgt].set(
+        jnp.where(do_fuse[:, None], fused_pts, fmap.points[tgt]),
+        mode="drop",
+    )
+    normals = fmap.normals.at[tgt].set(
+        jnp.where(do_fuse[:, None], fused_nrm, fmap.normals[tgt]), mode="drop"
+    )
+    colors = fmap.colors.at[tgt].set(
+        jnp.where(do_fuse[:, None], fused_cols, fmap.colors[tgt]), mode="drop"
+    )
+    confidence = fmap.confidence.at[tgt].add(
+        jnp.where(do_fuse, 1.0, 0.0), mode="drop"
+    )
+    valid = fmap.valid
+
+    # --- carve -----------------------------------------------------------
+    carve_tgt = jnp.where(do_carve, m_idx, fmap.capacity)
+    valid = valid.at[carve_tgt].set(
+        jnp.where(do_carve, False, valid[jnp.where(do_carve, m_idx, 0)]),
+        mode="drop",
+    )
+
+    # --- augment: assign the i-th new point to the i-th free slot ---------
+    free = ~valid
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # rank among free slots
+    slot_of_rank = (
+        jnp.full((fmap.capacity,), fmap.capacity, jnp.int32)
+        .at[jnp.where(free, free_rank, fmap.capacity)]
+        .min(jnp.arange(fmap.capacity, dtype=jnp.int32), mode="drop")
+    )
+    aug_rank = jnp.cumsum(do_augment.astype(jnp.int32)) - 1  # per pixel
+    aug_slot = slot_of_rank[jnp.clip(aug_rank, 0, fmap.capacity - 1)]
+    aug_tgt = jnp.where(
+        do_augment & (aug_slot < fmap.capacity), aug_slot, fmap.capacity
+    )
+    points = points.at[aug_tgt].set(pts_w, mode="drop")
+    normals = normals.at[aug_tgt].set(nrm_w, mode="drop")
+    colors = colors.at[aug_tgt].set(cols, mode="drop")
+    confidence = confidence.at[aug_tgt].set(1.0, mode="drop")
+    valid = valid.at[aug_tgt].set(True, mode="drop")
+
+    points = jnp.where(valid[:, None], points, 1e30)
+    return FusionMap(
+        points=points,
+        normals=normals,
+        colors=colors,
+        confidence=confidence,
+        valid=valid,
+    )

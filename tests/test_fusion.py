@@ -1,0 +1,128 @@
+"""Fusion (frame-to-model SLAM) tests on a synthetic rendered scene."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cilantro_tpu.core import CameraIntrinsics, depth_to_points_normals
+from cilantro_tpu.core.transforms import Transform, compose, inverse
+from cilantro_tpu.slam import (
+    FusionConfig,
+    init_map_from_frame,
+    integrate_frame,
+    localize,
+)
+
+K = CameraIntrinsics.make(100.0, 100.0, 31.5, 23.5)
+H, W = 48, 64
+
+
+def wavy_depth(phase=0.0):
+    v, u = np.mgrid[0:H, 0:W].astype(np.float32)
+    return (
+        1.5
+        + 0.05 * np.sin(0.2 * u + phase)
+        + 0.05 * np.cos(0.15 * v)
+    ).astype(np.float32)
+
+
+def frame_from_depth(d):
+    pts, nrm, valid = depth_to_points_normals(jnp.asarray(d), K)
+    return pts, nrm, valid
+
+
+def small_pose(ang=0.008, t=(0.004, -0.002, 0.003)):
+    r = np.array(
+        [
+            [np.cos(ang), -np.sin(ang), 0],
+            [np.sin(ang), np.cos(ang), 0],
+            [0, 0, 1],
+        ],
+        np.float32,
+    )
+    return Transform(jnp.asarray(r), jnp.asarray(np.array(t, np.float32)))
+
+
+class TestFusion:
+    def test_localize_recovers_pose(self):
+        pts, nrm, valid = frame_from_depth(wavy_depth())
+        fmap = init_map_from_frame(H * W * 2, pts, nrm, None, valid)
+        # Second frame: same scene seen from a moved camera.
+        pose2 = small_pose()
+        cam2 = inverse(pose2)
+        pts2 = cam2.apply(pts)
+        nrm2 = cam2.apply_normals(nrm)
+        pose_est, res = localize(
+            fmap,
+            pts2,
+            nrm2,
+            valid,
+            Transform(jnp.eye(3), jnp.zeros(3)),  # identity guess
+            K,
+            height=H,
+            width=W,
+            cfg=FusionConfig(icp_iterations=10, icp_convergence_tol=1e-6),
+        )
+        assert (
+            np.linalg.norm(np.asarray(pose_est.linear) - np.asarray(pose2.linear))
+            < 2e-3
+        )
+        assert (
+            np.linalg.norm(
+                np.asarray(pose_est.translation) - np.asarray(pose2.translation)
+            )
+            < 2e-3
+        )
+
+    def test_integrate_fuses_not_grows(self):
+        pts, nrm, valid = frame_from_depth(wavy_depth())
+        fmap = init_map_from_frame(H * W * 2, pts, nrm, None, valid)
+        n0 = int(fmap.num_points())
+        # Integrating the identical frame at identity pose must fuse ~all.
+        fmap2 = integrate_frame(
+            fmap, pts, nrm, None, valid,
+            Transform(jnp.eye(3), jnp.zeros(3)), K, height=H, width=W,
+        )
+        n1 = int(fmap2.num_points())
+        assert n1 <= n0 * 1.05  # no runaway growth
+        conf = np.asarray(fmap2.confidence)
+        assert (conf >= 2.0).sum() > 0.8 * n0  # most points fused twice
+
+    def test_integrate_augments_new_geometry(self):
+        d1 = wavy_depth()
+        d1[:, W // 2 :] = 0.0  # first frame sees only the left half
+        pts1, nrm1, v1 = frame_from_depth(d1)
+        fmap = init_map_from_frame(H * W * 2, pts1, nrm1, None, v1)
+        n0 = int(fmap.num_points())
+
+        d2 = wavy_depth()  # second frame sees everything
+        pts2, nrm2, v2 = frame_from_depth(d2)
+        fmap2 = integrate_frame(
+            fmap, pts2, nrm2, None, v2,
+            Transform(jnp.eye(3), jnp.zeros(3)), K, height=H, width=W,
+        )
+        n1 = int(fmap2.num_points())
+        assert n1 > n0 * 1.5  # right half augmented
+
+    def test_carve_removes_floaters(self):
+        pts, nrm, valid = frame_from_depth(wavy_depth())
+        fmap = init_map_from_frame(H * W * 2, pts, nrm, None, valid)
+        # Inject floating junk points in front of the surface (z = 0.5).
+        # Keep junk inside the view frustum: u = x·fx/z + cx ∈ [0, 64).
+        junk = np.zeros((50, 3), np.float32)
+        junk[:, 0] = np.linspace(-0.14, 0.14, 50)
+        junk[:, 2] = 0.5
+        fmap = fmap.__class__(
+            points=fmap.points.at[-50:].set(jnp.asarray(junk)),
+            normals=fmap.normals.at[-50:].set(
+                jnp.asarray(np.tile([0, 0, -1.0], (50, 1)).astype(np.float32))
+            ),
+            colors=fmap.colors,
+            confidence=fmap.confidence.at[-50:].set(1.0),
+            valid=fmap.valid.at[-50:].set(True),
+        )
+        fmap2 = integrate_frame(
+            fmap, pts, nrm, None, valid,
+            Transform(jnp.eye(3), jnp.zeros(3)), K, height=H, width=W,
+        )
+        still_there = np.asarray(fmap2.valid)[-50:]
+        assert still_there.sum() < 10  # floaters carved
