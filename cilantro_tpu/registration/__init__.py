@@ -14,3 +14,13 @@ from .icp import (  # noqa: F401
     simple_combined_metric_icp,
 )
 from .icp import icp_multires, icp_projective  # noqa: F401
+from .warp_field import (  # noqa: F401
+    DeformationGraph,
+    build_deformation_graph,
+    build_dense_graph,
+    estimate_warp_field,
+    icp_warp_field,
+    identity_warp,
+    resample_transforms,
+    warp_points,
+)

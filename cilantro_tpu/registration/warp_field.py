@@ -1,0 +1,553 @@
+"""Non-rigid warp-field estimation (dense + embedded deformation graph).
+
+TPU-native redesign of ``include/cilantro/registration/warp_field_estimation.hpp``
+(2,236 lines of OpenMP/Eigen-Sparse Gauss-Newton solvers) and
+``registration/warp_field_utilities.hpp``:
+
+* the reference assembles a CSR Jacobian in parallel and solves the normal
+  equations with Eigen's diagonally-preconditioned CG
+  (``warp_field_estimation.hpp:160-192``). Here the sparsity is *structural
+  and fixed* (each source point is attached to exactly ``k_anchors = 4``
+  control nodes, regularization arcs come from a fixed k-NN graph,
+  ``non_rigid_icp.cpp:53-58``), so Jᵀ(J·x) is evaluated matrix-free with
+  gathers + segment-sums — no sparse matrix is ever materialized — and CG is
+  a jitted ``lax.while_loop``;
+* data terms: combined point-to-point + point-to-plane on the blended warped
+  position ``x_i = Σ_j w_ij (ΔT_j ∘ T_j)(p_i)`` (per-node small-angle
+  increments ``[δω; δt]``);
+* regularization: pairwise warp-difference arcs under sqrt-Huber IRLS
+  (``warp_field_estimation.hpp:10-36,286-328``), residual
+  ``T̃_j(c_l) − T̃_l(c_l)`` per arc;
+* the dense warp field is the special case ``k_anchors = 1`` with identity
+  weights (every point its own node);
+* ``resampleTransforms`` (``warp_field_utilities.hpp:14-48``) maps to
+  :func:`resample_transforms` — a gather + weighted blend + rotation
+  re-projection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.transforms import (
+    Transform,
+    axis_angle_to_rotation,
+    compose,
+    project_to_rotation,
+)
+from ..neighbors.api import knn_search
+
+_EPS = 1e-12
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeformationGraph:
+    """Fixed-sparsity embedded deformation graph.
+
+    ``node_positions (M, D)``; ``anchors (N, K)`` node ids per source point
+    with normalized weights ``anchor_weights (N, K)`` (0 rows for invalid
+    points); regularization arcs ``arc_i/arc_j (A,)`` with ``arc_mask``.
+    """
+
+    node_positions: jax.Array
+    node_valid: jax.Array
+    anchors: jax.Array
+    anchor_weights: jax.Array
+    arc_i: jax.Array
+    arc_j: jax.Array
+    arc_mask: jax.Array
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_positions.shape[0]
+
+
+def build_deformation_graph(
+    src_points: jax.Array,
+    node_positions: jax.Array,
+    *,
+    src_valid: Optional[jax.Array] = None,
+    node_valid: Optional[jax.Array] = None,
+    k_anchors: int = 4,
+    k_arcs: int = 8,
+    weight_sigma: Optional[float] = None,
+) -> DeformationGraph:
+    """Attach each source point to its ``k_anchors`` nearest control nodes
+    with normalized RBF weights (``icp_warp_field_combined_metric_sparse`` /
+    ``non_rigid_icp.cpp:53-58``); arcs = node k-NN pairs."""
+    nb = knn_search(
+        src_points,
+        node_positions,
+        k_anchors,
+        query_valid=src_valid,
+        key_valid=node_valid,
+    )
+    d2 = jnp.where(nb.mask, nb.distances, 0.0)
+    if weight_sigma is None:
+        # Reference uses an RBF at the control resolution; a robust default
+        # is the per-point max anchor distance.
+        sigma2 = jnp.maximum(jnp.max(d2, axis=1, keepdims=True), _EPS)
+    else:
+        sigma2 = jnp.float32(weight_sigma) ** 2
+    w = jnp.exp(-0.5 * d2 / sigma2) * nb.mask
+    w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), _EPS)
+
+    arcs = knn_search(
+        node_positions,
+        node_positions,
+        k_arcs,
+        query_valid=node_valid,
+        key_valid=node_valid,
+        exclude_self=True,
+    )
+    m = node_positions.shape[0]
+    arc_i = jnp.repeat(jnp.arange(m, dtype=jnp.int32), k_arcs)
+    arc_j = arcs.indices.reshape(-1)
+    arc_mask = arcs.mask.reshape(-1)
+    if node_valid is None:
+        node_valid = jnp.ones(m, bool)
+    return DeformationGraph(
+        node_positions=node_positions,
+        node_valid=node_valid,
+        anchors=nb.indices,
+        anchor_weights=w,
+        arc_i=arc_i,
+        arc_j=arc_j,
+        arc_mask=arc_mask,
+    )
+
+
+def identity_warp(num_nodes: int, dim: int = 3) -> Transform:
+    return Transform(
+        jnp.broadcast_to(jnp.eye(dim), (num_nodes, dim, dim)),
+        jnp.zeros((num_nodes, dim)),
+    )
+
+
+def warp_points(
+    graph: DeformationGraph, node_tf: Transform, points: jax.Array
+) -> jax.Array:
+    """Blend node transforms per point and apply: the dense-field application
+    of ``resampleTransforms`` fused with ``transformPoints``."""
+    lin = node_tf.linear[graph.anchors]  # (N, K, D, D)
+    tr = node_tf.translation[graph.anchors]  # (N, K, D)
+    w = graph.anchor_weights
+    blended_lin = jnp.einsum("nk,nkij->nij", w, lin)
+    blended_tr = jnp.einsum("nk,nki->ni", w, tr)
+    return (
+        jnp.einsum("nij,nj->ni", blended_lin, points) + blended_tr
+    )
+
+
+def resample_transforms(
+    node_tf: Transform,
+    neighborhood_idx: jax.Array,
+    neighborhood_weights: jax.Array,
+    rigid: bool = True,
+) -> Transform:
+    """Weighted blend of node transforms onto arbitrary targets, rotation
+    re-projection for rigid fields (``warp_field_utilities.hpp:14-48``)."""
+    lin = jnp.einsum(
+        "nk,nkij->nij", neighborhood_weights, node_tf.linear[neighborhood_idx]
+    )
+    tr = jnp.einsum(
+        "nk,nki->ni", neighborhood_weights, node_tf.translation[neighborhood_idx]
+    )
+    if rigid:
+        lin = project_to_rotation(lin)
+    return Transform(lin, tr)
+
+
+# ---------------------------------------------------------------------------
+# Gauss-Newton solver (matrix-free block-sparse normal equations + CG).
+# ---------------------------------------------------------------------------
+
+
+def _huber_weights(r_norm, delta):
+    """IRLS weights for the sqrt-Huber loss on arc residual norms
+    (``warp_field_estimation.hpp:10-36``)."""
+    return jnp.where(r_norm <= delta, 1.0, delta / jnp.maximum(r_norm, _EPS))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_gn_iterations",
+        "max_cg_iterations",
+    ),
+)
+def estimate_warp_field(
+    graph: DeformationGraph,
+    src_points: jax.Array,
+    dst_points: jax.Array,  # (N, D) gathered correspondence targets
+    dst_normals: Optional[jax.Array],
+    corr_weights: jax.Array,  # (N,) 0 = no correspondence
+    *,
+    init: Optional[Transform] = None,
+    point_weight: float = 0.0,
+    plane_weight: float = 1.0,
+    stiffness: float = 200.0,
+    huber_delta: float = 1e-2,
+    max_gn_iterations: int = 10,
+    gn_tol: float = 2.5e-3,
+    max_cg_iterations: int = 500,
+    cg_tol: float = 1e-5,
+    levenberg: float = 1e-6,
+) -> Tuple[Transform, jax.Array]:
+    """Estimate per-node rigid transforms minimizing the combined metric plus
+    stiffness-weighted sqrt-Huber arc regularization (the sparse solvers at
+    ``warp_field_estimation.hpp:1387-1847``; defaults follow
+    ``non_rigid_icp.cpp:66-82``: stiffness 200, Huber 1e-2, CG ≤500 @1e-5).
+
+    Returns ``(node_transforms, converged)``.
+    """
+    m = graph.num_nodes
+    n, d = src_points.shape
+    node_tf = init if init is not None else identity_warp(m, d)
+    w_pp = corr_weights * point_weight
+    w_pl = corr_weights * plane_weight
+
+    def gn_body(carry):
+        node_tf, _, it = carry
+        # Current warped anchor positions y_ij = T_j(p_i).
+        lin_a = node_tf.linear[graph.anchors]  # (N, K, D, D)
+        tr_a = node_tf.translation[graph.anchors]
+        y = jnp.einsum("nkij,nj->nki", lin_a, src_points) + tr_a  # (N, K, D)
+        wa = graph.anchor_weights  # (N, K)
+        x = jnp.einsum("nk,nki->ni", wa, y)  # blended warped points
+
+        # Arc geometry: y_jl = T_j(c_l), y_ll = T_l(c_l).
+        cl = graph.node_positions[graph.arc_j]  # (A, D)
+        y_jl = (
+            jnp.einsum("aij,aj->ai", node_tf.linear[graph.arc_i], cl)
+            + node_tf.translation[graph.arc_i]
+        )
+        y_ll = (
+            jnp.einsum("aij,aj->ai", node_tf.linear[graph.arc_j], cl)
+            + node_tf.translation[graph.arc_j]
+        )
+        r_arc0 = y_jl - y_ll  # (A, D)
+        h = _huber_weights(jnp.linalg.norm(r_arc0, axis=-1), huber_delta)
+        w_arc = graph.arc_mask * h * graph.node_valid[graph.arc_i] * \
+            graph.node_valid[graph.arc_j]
+
+        # Residuals at δ = 0.
+        r_pp0 = x - dst_points  # (N, D)
+        if dst_normals is not None:
+            r_pl0 = jnp.einsum("ni,ni->n", dst_normals, r_pp0)
+        else:
+            r_pl0 = jnp.zeros(n, src_points.dtype)
+
+        def J_apply(delta):
+            """J·δ for all rows. δ: (M, 2D) = [δω | δt] per node."""
+            dw = delta[:, :d] if d == 3 else delta[:, :1]
+            dt = delta[:, d:] if d == 3 else delta[:, 1:]
+            dw_a = dw[graph.anchors]  # (N, K, ...)
+            dt_a = dt[graph.anchors]
+            if d == 3:
+                v = jnp.cross(dw_a, y) + dt_a  # (N, K, 3)
+            else:
+                # 2D: δω is scalar θ; dθ·(−y1, y0).
+                perp = jnp.stack([-y[..., 1], y[..., 0]], axis=-1)
+                v = dw_a * perp + dt_a
+            v_pt = jnp.einsum("nk,nki->ni", wa, v)  # data point rows (N, D)
+            if dst_normals is not None:
+                v_pl = jnp.einsum("ni,ni->n", dst_normals, v_pt)
+            else:
+                v_pl = jnp.zeros(n, src_points.dtype)
+            # Arc rows.
+            if d == 3:
+                va = (
+                    jnp.cross(dw[graph.arc_i], y_jl)
+                    + dt[graph.arc_i]
+                    - jnp.cross(dw[graph.arc_j], y_ll)
+                    - dt[graph.arc_j]
+                )
+            else:
+                perp_j = jnp.stack([-y_jl[..., 1], y_jl[..., 0]], axis=-1)
+                perp_l = jnp.stack([-y_ll[..., 1], y_ll[..., 0]], axis=-1)
+                va = (
+                    dw[graph.arc_i] * perp_j
+                    + dt[graph.arc_i]
+                    - dw[graph.arc_j] * perp_l
+                    - dt[graph.arc_j]
+                )
+            return v_pt, v_pl, va
+
+        def Jt_apply(v_pt, v_pl, va):
+            """Jᵀ·[v] accumulated per node: scatter over anchors + arcs."""
+            # Data rows: contribution to node j from point i is
+            # w_ij (J_ij)ᵀ (w_pp v_pt + w_pl v_pl n).
+            g = w_pp[:, None] * v_pt
+            if dst_normals is not None:
+                g = g + (w_pl * v_pl)[:, None] * dst_normals  # (N, D)
+            gk = wa[..., None] * g[:, None, :]  # (N, K, D)
+            if d == 3:
+                gw = jnp.cross(y, gk)  # ∂(ω×y)/∂ω ᵀ g = y × g
+            else:
+                perp = jnp.stack([-y[..., 1], y[..., 0]], axis=-1)
+                gw = jnp.sum(perp * gk, axis=-1, keepdims=True)
+            flat_idx = graph.anchors.reshape(-1)
+            acc_w = jax.ops.segment_sum(
+                gw.reshape(-1, gw.shape[-1]), flat_idx, num_segments=m
+            )
+            acc_t = jax.ops.segment_sum(
+                gk.reshape(-1, d), flat_idx, num_segments=m
+            )
+            # Arc rows (weight stiffness · huber).
+            ga = (stiffness * w_arc)[:, None] * va  # (A, D)
+            if d == 3:
+                gw_i = jnp.cross(y_jl, ga)
+                gw_j = -jnp.cross(y_ll, ga)
+            else:
+                gw_i = jnp.sum(
+                    jnp.stack([-y_jl[..., 1], y_jl[..., 0]], -1) * ga,
+                    axis=-1,
+                    keepdims=True,
+                )
+                gw_j = -jnp.sum(
+                    jnp.stack([-y_ll[..., 1], y_ll[..., 0]], -1) * ga,
+                    axis=-1,
+                    keepdims=True,
+                )
+            acc_w = acc_w + jax.ops.segment_sum(gw_i, graph.arc_i, num_segments=m)
+            acc_w = acc_w + jax.ops.segment_sum(gw_j, graph.arc_j, num_segments=m)
+            acc_t = acc_t + jax.ops.segment_sum(ga, graph.arc_i, num_segments=m)
+            acc_t = acc_t - jax.ops.segment_sum(ga, graph.arc_j, num_segments=m)
+            return jnp.concatenate([acc_w, acc_t], axis=1)  # (M, 2D)
+
+        def normal_matvec(delta):
+            v_pt, v_pl, va = J_apply(delta)
+            return Jt_apply(v_pt, v_pl, va) + levenberg * delta
+
+        rhs = -Jt_apply(r_pp0, r_pl0, r_arc0)
+
+        # Jacobi (lumped-diagonal) preconditioner: upper-bound row-norm
+        # estimates per unknown — only conditioning, never correctness.
+        def diag_estimate():
+            w_data = w_pp + w_pl
+            ww = w_data[:, None] * wa**2  # (N, K)
+            y2 = jnp.sum(y * y, axis=-1)  # (N, K)
+            flat_idx = graph.anchors.reshape(-1)
+            acc_w = jax.ops.segment_sum(
+                (ww * y2).reshape(-1), flat_idx, num_segments=m
+            )
+            acc_t = jax.ops.segment_sum(ww.reshape(-1), flat_idx, num_segments=m)
+            sa = stiffness * w_arc
+            arc_w = jax.ops.segment_sum(
+                sa * jnp.sum(y_jl * y_jl, -1), graph.arc_i, num_segments=m
+            ) + jax.ops.segment_sum(
+                sa * jnp.sum(y_ll * y_ll, -1), graph.arc_j, num_segments=m
+            )
+            arc_t = jax.ops.segment_sum(
+                sa, graph.arc_i, num_segments=m
+            ) + jax.ops.segment_sum(sa, graph.arc_j, num_segments=m)
+            n_w_cols = d if d == 3 else 1
+            dw_diag = jnp.broadcast_to(
+                (acc_w + arc_w)[:, None], (m, n_w_cols)
+            )
+            dt_diag = jnp.broadcast_to((acc_t + arc_t)[:, None], (m, d))
+            return jnp.concatenate([dw_diag, dt_diag], axis=1) + levenberg
+
+        precond = 1.0 / jnp.maximum(diag_estimate(), _EPS)
+
+        # Preconditioned CG on (JᵀJ + λI) δ = rhs, relative tolerance
+        # (Eigen CG semantics, ``warp_field_estimation.hpp:188-192``).
+        def cg(rhs):
+            rhs_norm2 = jnp.sum(rhs * rhs)
+            x0 = jnp.zeros_like(rhs)
+            r0 = rhs
+            z0 = precond * r0
+            p0 = z0
+            rz0 = jnp.sum(r0 * z0)
+
+            def cg_body(carry):
+                xk, rk, pk, rzk, k = carry
+                ap = normal_matvec(pk)
+                alpha = rzk / jnp.maximum(jnp.sum(pk * ap), _EPS)
+                xk1 = xk + alpha * pk
+                rk1 = rk - alpha * ap
+                zk1 = precond * rk1
+                rzk1 = jnp.sum(rk1 * zk1)
+                beta = rzk1 / jnp.maximum(rzk, _EPS)
+                return xk1, rk1, zk1 + beta * pk, rzk1, k + 1
+
+            def cg_cond(carry):
+                _, rk, _, _, k = carry
+                return (k < max_cg_iterations) & (
+                    jnp.sum(rk * rk) > cg_tol * cg_tol * rhs_norm2
+                )
+
+            xk, _, _, _, _ = jax.lax.while_loop(
+                cg_cond, cg_body, (x0, r0, p0, rz0, jnp.array(0, jnp.int32))
+            )
+            return xk
+
+        delta = cg(rhs)
+
+        # Apply per-node increments ΔT(δ) ∘ T with rotation re-projection.
+        if d == 3:
+            dw, dt = delta[:, :3], delta[:, 3:]
+            rot = axis_angle_to_rotation(dw)
+        else:
+            theta = delta[:, 0]
+            c, s = jnp.cos(theta), jnp.sin(theta)
+            rot = jnp.stack(
+                [jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], -2
+            )
+            dt = delta[:, 1:]
+        inc = Transform(rot, dt)
+        new_tf = compose(inc, node_tf)
+        new_tf = Transform(project_to_rotation(new_tf.linear), new_tf.translation)
+        max_update = jnp.max(
+            jnp.where(graph.node_valid, jnp.linalg.norm(delta, axis=1), 0.0)
+        )
+        return new_tf, max_update, it + 1
+
+    def gn_cond(carry):
+        _, upd, it = carry
+        return (it < max_gn_iterations) & (upd >= gn_tol)
+
+    node_tf, upd, _ = jax.lax.while_loop(
+        gn_cond,
+        gn_body,
+        (node_tf, jnp.array(jnp.inf, src_points.dtype), jnp.array(0, jnp.int32)),
+    )
+    return node_tf, upd < gn_tol
+
+
+# ---------------------------------------------------------------------------
+# Non-rigid ICP outer loops (sparse EDG + dense warp fields).
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_iterations", "max_gn_iterations", "max_cg_iterations"),
+)
+def icp_warp_field(
+    graph: DeformationGraph,
+    src_points: jax.Array,
+    dst_points: jax.Array,
+    *,
+    dst_normals: Optional[jax.Array] = None,
+    src_valid: Optional[jax.Array] = None,
+    dst_valid: Optional[jax.Array] = None,
+    max_corr_dist_sq: float = 0.0025,
+    point_weight: float = 0.1,
+    plane_weight: float = 1.0,
+    stiffness: float = 200.0,
+    huber_delta: float = 1e-2,
+    max_iterations: int = 15,
+    convergence_tol: float = 2.5e-3,
+    max_gn_iterations: int = 1,
+    max_cg_iterations: int = 500,
+) -> Tuple[Transform, jax.Array, jax.Array]:
+    """Sparse (EDG) non-rigid ICP (``CombinedMetricSparseWarpFieldICP``,
+    ``icp_warp_field_combined_metric_sparse.hpp:202-240``; example defaults
+    ``non_rigid_icp.cpp:66-84``: 15 outer iterations, 1 GN iteration each).
+
+    Each outer iteration: warp src by the blended field → NN correspondences
+    → one GN step on the node transforms. Returns
+    ``(node_transforms, iterations, converged)``. The dense per-point field is
+    :func:`warp_points` / :func:`resample_transforms` applied to the result.
+    """
+    from ..neighbors.bruteforce import nn1, INVALID_DIST
+
+    n, d = src_points.shape
+    if src_valid is None:
+        src_valid = jnp.ones(n, bool)
+    node_tf = identity_warp(graph.num_nodes, d)
+
+    def body(carry):
+        node_tf, _, it = carry
+        warped = warp_points(graph, node_tf, src_points)
+        dist, idx = nn1(
+            warped, dst_points, query_valid=src_valid, key_valid=dst_valid
+        )
+        mask = src_valid & (dist < INVALID_DIST) & (dist <= max_corr_dist_sq)
+        w = mask.astype(src_points.dtype)
+        dgt = dst_points[jnp.where(mask, idx, 0)]
+        ngt = (
+            dst_normals[jnp.where(mask, idx, 0)]
+            if dst_normals is not None
+            else None
+        )
+        new_tf, _ = estimate_warp_field(
+            graph,
+            src_points,
+            dgt,
+            ngt,
+            w,
+            init=node_tf,
+            point_weight=point_weight,
+            plane_weight=plane_weight,
+            stiffness=stiffness,
+            huber_delta=huber_delta,
+            max_gn_iterations=max_gn_iterations,
+            gn_tol=0.0,
+            max_cg_iterations=max_cg_iterations,
+        )
+        # Convergence: max per-node motion between outer iterations
+        # (icp_warp_field_combined_metric_sparse.hpp convergence norm).
+        delta_lin = new_tf.linear - node_tf.linear
+        delta_tr = new_tf.translation - node_tf.translation
+        upd = jnp.max(
+            jnp.where(
+                graph.node_valid,
+                jnp.sqrt(
+                    jnp.sum(delta_lin**2, axis=(-2, -1))
+                    + jnp.sum(delta_tr**2, axis=-1)
+                ),
+                0.0,
+            )
+        )
+        return new_tf, upd, it + 1
+
+    def cond(carry):
+        _, upd, it = carry
+        return (it < max_iterations) & (upd >= convergence_tol)
+
+    node_tf, upd, it = jax.lax.while_loop(
+        cond,
+        body,
+        (node_tf, jnp.array(jnp.inf, src_points.dtype), jnp.array(0, jnp.int32)),
+    )
+    return node_tf, it, upd < convergence_tol
+
+
+def build_dense_graph(
+    src_points: jax.Array,
+    *,
+    src_valid: Optional[jax.Array] = None,
+    k_arcs: int = 8,
+) -> DeformationGraph:
+    """Dense warp field as a degenerate EDG: every point is its own node with
+    weight 1 (maps the dense solvers, ``warp_field_estimation.hpp:92-995``);
+    regularization arcs from the point k-NN graph."""
+    n = src_points.shape[0]
+    if src_valid is None:
+        src_valid = jnp.ones(n, bool)
+    arcs = knn_search(
+        src_points,
+        src_points,
+        k_arcs,
+        query_valid=src_valid,
+        key_valid=src_valid,
+        exclude_self=True,
+    )
+    return DeformationGraph(
+        node_positions=src_points,
+        node_valid=src_valid,
+        anchors=jnp.arange(n, dtype=jnp.int32)[:, None],
+        anchor_weights=src_valid.astype(src_points.dtype)[:, None],
+        arc_i=jnp.repeat(jnp.arange(n, dtype=jnp.int32), k_arcs),
+        arc_j=arcs.indices.reshape(-1),
+        arc_mask=arcs.mask.reshape(-1),
+    )

@@ -1,0 +1,127 @@
+"""Non-rigid warp-field tests: smooth-deformation recovery (the distort-and-
+recover recipe of ``examples/non_rigid_icp.cpp`` on synthetic surfaces)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cilantro_tpu.registration import (
+    build_deformation_graph,
+    build_dense_graph,
+    icp_warp_field,
+    identity_warp,
+    resample_transforms,
+    warp_points,
+)
+
+
+def surface(rng, n=1500):
+    xy = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+    z = (0.2 * np.sin(1.5 * xy[:, 0]) * np.cos(1.5 * xy[:, 1])).astype(
+        np.float32
+    )
+    return np.column_stack([xy, z])
+
+
+def smooth_bend(pts, amp=0.06):
+    """A smooth non-rigid deformation: x-dependent lift + slight twist."""
+    out = pts.copy()
+    out[:, 2] += amp * np.sin(1.2 * pts[:, 0] + 0.4)
+    out[:, 1] += 0.5 * amp * np.cos(1.0 * pts[:, 0])
+    return out
+
+
+def control_nodes(pts, step=0.25):
+    """Grid-subsampled control nodes."""
+    keys = np.round(pts[:, :2] / step).astype(np.int64)
+    _, first = np.unique(keys[:, 0] * 10000 + keys[:, 1], return_index=True)
+    return pts[np.sort(first)]
+
+
+class TestSparseWarpField:
+    def test_edg_recovers_smooth_deformation(self, rng):
+        src = surface(rng)
+        dst = smooth_bend(src)
+        nodes = control_nodes(src)
+        graph = build_deformation_graph(
+            jnp.asarray(src), jnp.asarray(nodes), k_anchors=4, k_arcs=6
+        )
+        node_tf, iters, converged = icp_warp_field(
+            graph,
+            jnp.asarray(src),
+            jnp.asarray(dst),
+            max_corr_dist_sq=0.04,
+            point_weight=1.0,
+            plane_weight=0.0,
+            stiffness=10.0,
+            max_iterations=12,
+            convergence_tol=1e-4,
+            max_cg_iterations=60,
+        )
+        warped = np.asarray(warp_points(graph, node_tf, jnp.asarray(src)))
+        err = np.linalg.norm(warped - dst, axis=1)
+        # Non-rigid residual well below the deformation magnitude (~0.06).
+        assert np.median(err) < 0.01
+        assert np.mean(err) < 0.015
+
+    def test_identity_when_aligned(self, rng):
+        src = surface(rng, n=800)
+        nodes = control_nodes(src)
+        graph = build_deformation_graph(jnp.asarray(src), jnp.asarray(nodes))
+        node_tf, _, _ = icp_warp_field(
+            graph,
+            jnp.asarray(src),
+            jnp.asarray(src),
+            max_corr_dist_sq=0.04,
+            point_weight=1.0,
+            plane_weight=0.0,
+            stiffness=10.0,
+            max_iterations=5,
+            max_cg_iterations=60,
+        )
+        lin = np.asarray(node_tf.linear)
+        tr = np.asarray(node_tf.translation)
+        eye = np.eye(3)[None]
+        assert np.abs(lin - eye).max() < 1e-3
+        assert np.abs(tr).max() < 1e-3
+
+
+class TestDenseWarpField:
+    def test_dense_recovers_translation_field(self, rng):
+        src = surface(rng, n=600)
+        dst = src + np.float32([0.0, 0.0, 0.03])  # constant lift
+        graph = build_dense_graph(jnp.asarray(src), k_arcs=6)
+        node_tf, _, _ = icp_warp_field(
+            graph,
+            jnp.asarray(src),
+            jnp.asarray(dst),
+            max_corr_dist_sq=0.04,
+            point_weight=1.0,
+            plane_weight=0.0,
+            stiffness=5.0,
+            max_iterations=10,
+            max_cg_iterations=60,
+        )
+        warped = np.asarray(warp_points(graph, node_tf, jnp.asarray(src)))
+        err = np.linalg.norm(warped - dst, axis=1)
+        assert np.median(err) < 0.005
+
+
+class TestResample:
+    def test_blend_of_identical_transforms(self, rng):
+        tf = identity_warp(10)
+        ang = 0.3
+        r = np.array(
+            [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]],
+            np.float32,
+        )
+        tf = tf.__class__(
+            jnp.broadcast_to(jnp.asarray(r), (10, 3, 3)),
+            jnp.broadcast_to(jnp.asarray(np.float32([1, 2, 3])), (10, 3)),
+        )
+        idx = jnp.asarray(rng.integers(0, 10, (5, 4)).astype(np.int32))
+        w = jnp.full((5, 4), 0.25)
+        out = resample_transforms(tf, idx, w)
+        np.testing.assert_allclose(np.asarray(out.linear), np.tile(r, (5, 1, 1)), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out.translation), np.tile([1, 2, 3], (5, 1)), atol=1e-5
+        )
