@@ -6,3 +6,10 @@ from .connected_components import (  # noqa: F401
     edge_mask_from_evaluator,
     propagate_labels,
 )
+from .spectral import (  # noqa: F401
+    SpectralResult,
+    laplacian,
+    spectral_embedding,
+    spectral_clustering,
+    estimate_num_clusters_eigengap,
+)

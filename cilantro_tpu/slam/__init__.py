@@ -6,3 +6,5 @@ from .fusion import (  # noqa: F401
     integrate_frame,
     localize,
 )
+from .pose_graph import optimize_pose_graph, pose_error  # noqa: F401
+from .bundle_adjustment import bundle_adjust, bundle_adjust_sharded  # noqa: F401

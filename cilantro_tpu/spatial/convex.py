@@ -191,7 +191,9 @@ def find_feasible_point(
     b_ub = -b
     c = np.zeros(d + 1)
     c[-1] = -1.0
-    bounds = [(None, None)] * d + [(0, None)]
+    # Bound the box and radius so unbounded regions (e.g. single halfspaces
+    # from a complement expansion) still yield a finite interior point.
+    bounds = [(-1e6, 1e6)] * d + [(0, 1e3)]
     res = linprog(c, A_ub=a_ub, b_ub=b_ub, bounds=bounds, method="highs")
     if not res.success or res.x[-1] <= 1e-12:
         return None

@@ -1,0 +1,175 @@
+"""Spatial (polytopes/regions), MDS, spectral clustering, graph/colormap/io
+utilities."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cilantro_tpu.spatial import (
+    ConvexPolytope,
+    SpaceRegion,
+    find_feasible_point,
+    flat_convex_hull_3d,
+)
+from cilantro_tpu.utils import (
+    adjacency_dense,
+    colormap,
+    distance_dense,
+    function_value_dense,
+    mds,
+    neighborhood_degrees,
+    read_matrix_raw,
+    write_matrix_raw,
+)
+from cilantro_tpu.clustering import spectral_clustering
+from cilantro_tpu.neighbors import knn_search
+
+
+CUBE = np.array(
+    [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1],
+     [1, 1, 0], [1, 0, 1], [0, 1, 1], [1, 1, 1]],
+    np.float64,
+)
+
+
+class TestConvexPolytope:
+    def test_cube_hull(self):
+        p = ConvexPolytope.from_points(CUBE)
+        assert not p.empty
+        assert len(p.vertices) == 8
+        area, vol = p.area_volume()
+        assert abs(area - 6.0) < 1e-9
+        assert abs(vol - 1.0) < 1e-9
+
+    def test_containment(self):
+        p = ConvexPolytope.from_points(CUBE)
+        pts = jnp.asarray(
+            np.array([[0.5, 0.5, 0.5], [1.5, 0.5, 0.5], [0.99, 0.99, 0.01]],
+                     np.float32)
+        )
+        inside = np.asarray(p.contains(pts, tolerance=1e-6))
+        assert inside.tolist() == [True, False, True]
+
+    def test_halfspace_roundtrip(self):
+        p = ConvexPolytope.from_points(CUBE)
+        q = ConvexPolytope.from_halfspaces(p.normals, p.offsets)
+        assert not q.empty
+        _, vol = q.area_volume()
+        assert abs(vol - 1.0) < 1e-6
+
+    def test_intersection(self):
+        a = ConvexPolytope.from_points(CUBE)
+        b = ConvexPolytope.from_points(CUBE + np.array([0.5, 0.0, 0.0]))
+        c = a.intersection(b)
+        _, vol = c.area_volume()
+        assert abs(vol - 0.5) < 1e-6
+
+    def test_degenerate_empty(self):
+        flat = CUBE.copy()
+        flat[:, 2] = 0.0
+        p = ConvexPolytope.from_points(flat)
+        assert p.empty
+
+    def test_transform(self):
+        p = ConvexPolytope.from_points(CUBE)
+        r = np.eye(3)
+        t = np.array([10.0, 0.0, 0.0])
+        q = p.transformed(r, t)
+        inside = np.asarray(
+            q.contains(jnp.asarray(np.float32([[10.5, 0.5, 0.5]])), 1e-6)
+        )
+        assert inside[0]
+
+    def test_feasible_point(self):
+        p = ConvexPolytope.from_points(CUBE)
+        x = find_feasible_point(p.normals, p.offsets)
+        assert x is not None
+        assert (x > 0).all() and (x < 1).all()
+
+    def test_flat_hull(self):
+        pts = np.column_stack(
+            [np.random.default_rng(0).uniform(0, 1, (50, 2)),
+             np.zeros(50) + 1e-9 * np.random.default_rng(1).standard_normal(50)]
+        )
+        hull2, frame = flat_convex_hull_3d(pts)
+        assert not hull2.empty
+        assert frame.shape == (3, 3)
+
+
+class TestSpaceRegion:
+    def test_union_contains(self):
+        a = ConvexPolytope.from_points(CUBE)
+        b = ConvexPolytope.from_points(CUBE + np.array([5.0, 0, 0]))
+        r = SpaceRegion([a]).union(SpaceRegion([b]))
+        pts = jnp.asarray(np.float32([[0.5, 0.5, 0.5], [5.5, 0.5, 0.5], [3, 0, 0]]))
+        assert np.asarray(r.contains(pts, 1e-6)).tolist() == [True, True, False]
+
+    def test_intersection(self):
+        a = SpaceRegion([ConvexPolytope.from_points(CUBE)])
+        b = SpaceRegion(
+            [ConvexPolytope.from_points(CUBE + np.array([0.5, 0, 0]))]
+        )
+        c = a.intersection(b)
+        pts = jnp.asarray(np.float32([[0.75, 0.5, 0.5], [0.25, 0.5, 0.5]]))
+        assert np.asarray(c.contains(pts, 1e-6)).tolist() == [True, False]
+
+    def test_complement(self):
+        a = SpaceRegion([ConvexPolytope.from_points(CUBE)])
+        comp = a.complement()
+        pts = jnp.asarray(np.float32([[0.5, 0.5, 0.5], [2.0, 0.5, 0.5]]))
+        assert np.asarray(comp.contains(pts, 1e-6)).tolist() == [False, True]
+
+
+class TestMDS:
+    def test_recovers_planar_config(self, rng):
+        pts = rng.uniform(-1, 1, (40, 2)).astype(np.float32)
+        d = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+        res = mds(jnp.asarray(d), 2)
+        emb = np.asarray(res.embedding)
+        d2 = np.linalg.norm(emb[:, None, :] - emb[None, :, :], axis=-1)
+        np.testing.assert_allclose(d2, d, atol=1e-3)
+
+
+class TestSpectral:
+    def test_two_blobs(self, rng):
+        pts = np.concatenate(
+            [rng.standard_normal((30, 2)) * 0.1,
+             rng.standard_normal((30, 2)) * 0.1 + 5.0]
+        ).astype(np.float32)
+        d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        aff = np.exp(-d2 / 0.5)
+        res = spectral_clustering(jax.random.PRNGKey(0), jnp.asarray(aff), 2)
+        labels = np.asarray(res.labels)
+        assert (labels[:30] == labels[0]).all()
+        assert (labels[30:] == labels[30]).all()
+        assert labels[0] != labels[30]
+
+
+class TestGraphUtils:
+    def test_adjacency_and_degrees(self, rng):
+        pts = jnp.asarray(rng.standard_normal((20, 3)).astype(np.float32))
+        nb = knn_search(pts, pts, 4, exclude_self=True)
+        deg = np.asarray(neighborhood_degrees(nb))
+        assert (deg == 4).all()
+        adj = np.asarray(adjacency_dense(nb))
+        assert adj.shape == (20, 20)
+        assert (adj == adj.T).all()
+        dm = np.asarray(distance_dense(nb))
+        assert (dm >= 0).all()
+        fv = np.asarray(function_value_dense(nb, lambda d: jnp.exp(-d)))
+        assert fv.max() <= 1.0
+
+
+class TestColormapIO:
+    def test_colormaps_in_range(self):
+        v = jnp.linspace(0.0, 1.0, 11)
+        for name in ("jet", "gray", "blue2red"):
+            c = np.asarray(colormap(v, name))
+            assert c.shape == (11, 3)
+            assert c.min() >= 0.0 and c.max() <= 1.0
+
+    def test_matrix_raw_roundtrip(self, tmp_path):
+        m = np.arange(12, dtype=np.float32).reshape(3, 4)
+        p = str(tmp_path / "m.bin")
+        write_matrix_raw(p, m)
+        np.testing.assert_array_equal(read_matrix_raw(p), m)
