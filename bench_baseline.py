@@ -1,0 +1,140 @@
+"""Single-core CPU baselines (numpy/scipy) for bench.py.
+
+These implement the same algorithms the reference C++ runs (cilantro itself
+cannot be compiled here — no Eigen on the image, see BASELINE.md), in the
+same algorithmic class: cKDTree NN for the kd-tree path, z-buffered
+projective matching + point-to-plane GN for the fusion path. All
+single-threaded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def backproject(depth, fx, fy, cx, cy):
+    h, w = depth.shape
+    v, u = np.mgrid[0:h, 0:w]
+    z = depth
+    x = (u - cx) * z / fx
+    y = (v - cy) * z / fy
+    pts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+    return pts, (z > 0).reshape(-1)
+
+
+def image_normals(depth, fx, fy, cx, cy):
+    pts, valid = backproject(depth, fx, fy, cx, cy)
+    h, w = depth.shape
+    p = pts.reshape(h, w, 3)
+    du = np.roll(p, -1, 1) - np.roll(p, 1, 1)
+    dv = np.roll(p, -1, 0) - np.roll(p, 1, 0)
+    n = np.cross(dv, du)
+    nn = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / np.maximum(nn, 1e-30)
+    flip = np.sum(n * p, axis=-1, keepdims=True) > 0
+    n = np.where(flip, -n, n)
+    return pts, n.reshape(-1, 3), valid
+
+
+def zbuffer_index(points, valid, fx, fy, cx, cy, h, w):
+    z = points[:, 2]
+    ok = valid & (z > 0)
+    u = np.round(points[:, 0] * fx / np.where(ok, z, 1.0) + cx).astype(np.int64)
+    v = np.round(points[:, 1] * fy / np.where(ok, z, 1.0) + cy).astype(np.int64)
+    ok &= (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    pix = np.where(ok, v * w + u, h * w)
+    zmin = np.full(h * w + 1, np.inf)
+    np.minimum.at(zmin, pix, np.where(ok, z, np.inf))
+    idx = np.full(h * w + 1, -1, np.int64)
+    win = ok & (z <= zmin[pix])
+    idx[pix[win]] = np.flatnonzero(win)
+    return idx[: h * w], zmin[: h * w]
+
+
+def fusion_cpu(depths, fx, fy, cx, cy, icp_iters=6, fuse_depth=0.01, occl=0.025):
+    """Single-core frame-to-model fusion: projective combined-metric ICP +
+    fuse/augment/carve map update. Returns poses (list of 4x4)."""
+    h, w = depths[0].shape
+    pts, nrm, valid = image_normals(depths[0], fx, fy, cx, cy)
+    m_pts = pts[valid].copy()
+    m_nrm = nrm[valid].copy()
+    m_conf = np.ones(len(m_pts))
+    pose = np.eye(4)
+    poses = [pose.copy()]
+    for fi in range(1, len(depths)):
+        f_pts, f_nrm, f_valid = image_normals(depths[fi], fx, fy, cx, cy)
+        r, t = pose[:3, :3], pose[:3, 3]
+        model_cam = (m_pts - t) @ r
+        model_nrm_cam = m_nrm @ r
+        imap, _ = zbuffer_index(
+            model_cam, np.ones(len(model_cam), bool), fx, fy, cx, cy, h, w
+        )
+        # ICP (delta composed onto pose).
+        dr, dt = np.eye(3), np.zeros(3)
+        for _ in range(icp_iters):
+            s = f_pts @ dr.T + dt
+            z = s[:, 2]
+            ok = f_valid & (z > 0)
+            u = np.round(s[:, 0] * fx / np.where(ok, z, 1) + cx).astype(np.int64)
+            v = np.round(s[:, 1] * fy / np.where(ok, z, 1) + cy).astype(np.int64)
+            ok &= (u >= 0) & (u < w) & (v >= 0) & (v < h)
+            hit = np.where(ok, imap[np.clip(v * w + u, 0, h * w - 1)], -1)
+            ok &= hit >= 0
+            d = model_cam[np.clip(hit, 0, None)]
+            diff = d - s
+            ok &= np.sum(diff * diff, axis=1) <= 0.01
+            sp, dp = s[ok], d[ok]
+            dn = model_nrm_cam[hit[ok]]
+            j = np.concatenate([np.cross(sp, dn), dn], axis=1)
+            res = np.einsum("ni,ni->n", dn, sp - dp)
+            jtj = j.T @ j + 1e-9 * np.eye(6)
+            x = np.linalg.solve(jtj, -j.T @ res)
+            wv, tv = x[:3], x[3:]
+            th = np.linalg.norm(wv)
+            if th > 1e-12:
+                ax = wv / th
+                k = np.array(
+                    [[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]]
+                )
+                rr = np.eye(3) + np.sin(th) * k + (1 - np.cos(th)) * (k @ k)
+            else:
+                rr = np.eye(3)
+            dr = rr @ dr
+            dt = rr @ dt + tv
+            if np.linalg.norm(x) < 5e-4:
+                break
+        delta = np.eye(4)
+        delta[:3, :3], delta[:3, 3] = dr, dt
+        pose = pose @ delta
+        poses.append(pose.copy())
+        # Map update.
+        r, t = pose[:3, :3], pose[:3, 3]
+        model_cam = (m_pts - t) @ r
+        imap, mdepth = zbuffer_index(
+            model_cam, np.ones(len(model_cam), bool), fx, fy, cx, cy, h, w
+        )
+        fd = f_pts[:, 2]
+        f_ok = f_valid & (fd > 0)
+        m_ok = imap >= 0
+        both = f_ok & m_ok
+        midx = np.clip(imap, 0, None)
+        ddiff = fd - mdepth
+        do_fuse = both & (np.abs(ddiff) <= fuse_depth)
+        do_carve = both & (ddiff > occl)
+        do_aug = f_ok & (~m_ok | (both & (ddiff < -occl)))
+        w_pts = f_pts @ r.T + t
+        w_nrm = f_nrm @ r.T
+        tgt = midx[do_fuse]
+        c = m_conf[tgt][:, None]
+        m_pts[tgt] = (m_pts[tgt] * c + w_pts[do_fuse]) / (c + 1)
+        m_nrm[tgt] = m_nrm[tgt] * c + w_nrm[do_fuse]
+        m_nrm[tgt] /= np.maximum(
+            np.linalg.norm(m_nrm[tgt], axis=1, keepdims=True), 1e-30
+        )
+        m_conf[tgt] += 1
+        keep = np.ones(len(m_pts), bool)
+        keep[midx[do_carve]] = False
+        m_pts = np.concatenate([m_pts[keep], w_pts[do_aug]])
+        m_nrm = np.concatenate([m_nrm[keep], w_nrm[do_aug]])
+        m_conf = np.concatenate([m_conf[keep], np.ones(do_aug.sum())])
+    return poses

@@ -1,0 +1,154 @@
+"""Native (C++) runtime components with ctypes bindings.
+
+The compute path is JAX/XLA/Pallas; the *runtime around it* — I/O codecs,
+loaders — is native C++, mirroring the reference's split (templated headers
+for algorithms, compiled tinyply/qhull for I/O and hulls). Libraries are
+compiled on first use with g++ -O3 and cached next to the sources; every
+binding has a pure-Python fallback so the package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
+_BUILD_DIR = os.path.join(os.path.dirname(__file__), "_build")
+_lock = threading.Lock()
+_libs = {}
+
+
+def _build(name: str) -> Optional[str]:
+    """Compile ``src/{name}.cpp`` → ``_build/lib{name}.so`` (mtime-cached)."""
+    src = os.path.join(_SRC_DIR, f"{name}.cpp")
+    out = os.path.join(_BUILD_DIR, f"lib{name}.so")
+    if not os.path.exists(src):
+        return None
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        src,
+        "-o",
+        out,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return None
+    return out
+
+
+def _load(name: str) -> Optional[ctypes.CDLL]:
+    with _lock:
+        if name in _libs:
+            return _libs[name]
+        path = _build(name)
+        lib = ctypes.CDLL(path) if path else None
+        _libs[name] = lib
+        return lib
+
+
+# ---------------------------------------------------------------------------
+# PLY codec bindings.
+# ---------------------------------------------------------------------------
+
+
+def _ply_lib() -> Optional[ctypes.CDLL]:
+    lib = _load("ply_codec")
+    if lib is None:
+        return None
+    if not getattr(lib, "_configured", False):
+        fpp = ctypes.POINTER(ctypes.POINTER(ctypes.c_float))
+        lib.ply_read.argtypes = [
+            ctypes.c_char_p, fpp, fpp, fpp, ctypes.POINTER(ctypes.c_int64)
+        ]
+        lib.ply_read.restype = ctypes.c_int
+        lib.ply_write.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        lib.ply_write.restype = ctypes.c_int
+        lib.ply_free.argtypes = [ctypes.c_void_p]
+        lib._configured = True
+    return lib
+
+
+def ply_read_native(
+    path: str,
+) -> Optional[Tuple[np.ndarray, Optional[np.ndarray], Optional[np.ndarray]]]:
+    """Read a PLY with the C++ codec; None if the codec is unavailable.
+    Raises ValueError on parse errors."""
+    lib = _ply_lib()
+    if lib is None:
+        return None
+    fp = ctypes.POINTER(ctypes.c_float)
+    pts_p, nrm_p, col_p = fp(), fp(), fp()
+    n = ctypes.c_int64(0)
+    rc = lib.ply_read(
+        path.encode(),
+        ctypes.byref(pts_p),
+        ctypes.byref(nrm_p),
+        ctypes.byref(col_p),
+        ctypes.byref(n),
+    )
+    if rc != 0:
+        raise ValueError(f"native PLY parse failed ({rc}): {path}")
+
+    def take(ptr):
+        if not ptr:
+            return None
+        arr = np.ctypeslib.as_array(ptr, shape=(n.value, 3)).copy()
+        lib.ply_free(ptr)
+        return arr
+
+    return take(pts_p), take(nrm_p), take(col_p)
+
+
+def ply_write_native(
+    path: str,
+    points: np.ndarray,
+    normals: Optional[np.ndarray] = None,
+    colors: Optional[np.ndarray] = None,
+    binary: bool = True,
+) -> bool:
+    """Write a PLY with the C++ codec; False if unavailable."""
+    lib = _ply_lib()
+    if lib is None:
+        return False
+    fp = ctypes.POINTER(ctypes.c_float)
+    pts_ptr = np.ascontiguousarray(points, np.float32)
+    nrm_arr = (
+        np.ascontiguousarray(normals, np.float32) if normals is not None else None
+    )
+    col_arr = (
+        np.ascontiguousarray(colors, np.float32) if colors is not None else None
+    )
+    rc = lib.ply_write(
+        path.encode(),
+        pts_ptr.ctypes.data_as(fp),
+        nrm_arr.ctypes.data_as(fp) if nrm_arr is not None else ctypes.cast(None, fp),
+        col_arr.ctypes.data_as(fp) if col_arr is not None else ctypes.cast(None, fp),
+        len(points),
+        1 if binary else 0,
+    )
+    return rc == 0
+
+
+def native_available() -> bool:
+    return _ply_lib() is not None

@@ -8,3 +8,9 @@ from .fusion import (  # noqa: F401
 )
 from .pose_graph import optimize_pose_graph, pose_error  # noqa: F401
 from .bundle_adjustment import bundle_adjust, bundle_adjust_sharded  # noqa: F401
+from .driver import (  # noqa: F401
+    FusionMetrics,
+    ate_rmse,
+    run_fusion_sequence,
+    synthetic_sequence,
+)

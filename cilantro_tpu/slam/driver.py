@@ -1,0 +1,189 @@
+"""Headless fusion-sequence driver + trajectory metrics.
+
+The reference's fusion app is interactive (Pangolin loop,
+``examples/fusion.cpp:125-254``); this is the headless equivalent: a host
+loop over RGBD frames calling the two jitted programs per frame
+(:func:`cilantro_tpu.slam.localize`, :func:`cilantro_tpu.slam.integrate_frame`)
+with warm-started poses, producing a trajectory + map + per-frame metrics.
+
+Also provides ATE (absolute trajectory error after Umeyama alignment) — the
+accuracy bound the BASELINE requires against reference trajectories — and a
+synthetic RGBD sequence generator for self-contained benchmarks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.rgbd import CameraIntrinsics, depth_to_points_normals
+from ..core.transforms import Transform, identity
+from ..registration.transform_estimation import estimate_rigid_point_to_point
+from .fusion import (
+    FusionConfig,
+    FusionMap,
+    init_map_from_frame,
+    integrate_frame,
+    localize,
+)
+
+
+@dataclasses.dataclass
+class FusionMetrics:
+    poses: List[np.ndarray]  # (4, 4) per frame
+    frames: int
+    seconds_per_frame: float
+    icp_iterations: List[int]
+    num_map_points: int
+
+
+def run_fusion_sequence(
+    depths: Sequence[np.ndarray],  # (H, W) metric depth per frame
+    intrinsics: CameraIntrinsics,
+    *,
+    colors: Optional[Sequence[np.ndarray]] = None,
+    map_capacity: Optional[int] = None,
+    cfg: FusionConfig = FusionConfig(),
+    integrate_every: int = 1,
+) -> Tuple[FusionMap, FusionMetrics]:
+    """Run frame-to-model fusion over a depth sequence (world frame = first
+    camera). Returns the final map and per-frame metrics."""
+    h, w = depths[0].shape
+    if map_capacity is None:
+        map_capacity = 4 * h * w
+
+    pts, nrm, valid = depth_to_points_normals(jnp.asarray(depths[0]), intrinsics)
+    col0 = jnp.asarray(colors[0].reshape(-1, 3)) if colors is not None else None
+    fmap = init_map_from_frame(map_capacity, pts, nrm, col0, valid)
+    pose = identity(3)
+    poses = [np.asarray(pose.matrix())]
+    iters = [0]
+
+    t0 = time.perf_counter()
+    for fi in range(1, len(depths)):
+        pts, nrm, valid = depth_to_points_normals(
+            jnp.asarray(depths[fi]), intrinsics
+        )
+        pose, res = localize(
+            fmap, pts, nrm, valid, pose, intrinsics, height=h, width=w, cfg=cfg
+        )
+        if fi % integrate_every == 0:
+            colf = (
+                jnp.asarray(colors[fi].reshape(-1, 3))
+                if colors is not None
+                else None
+            )
+            fmap = integrate_frame(
+                fmap, pts, nrm, colf, valid, pose, intrinsics,
+                height=h, width=w, cfg=cfg,
+            )
+        poses.append(np.asarray(pose.matrix()))
+        iters.append(int(res.iterations))
+    # Force completion before timing.
+    n_map = int(fmap.num_points())
+    dt = (time.perf_counter() - t0) / max(len(depths) - 1, 1)
+
+    return fmap, FusionMetrics(
+        poses=poses,
+        frames=len(depths),
+        seconds_per_frame=dt,
+        icp_iterations=iters,
+        num_map_points=n_map,
+    )
+
+
+def ate_rmse(
+    est_poses: Sequence[np.ndarray], gt_poses: Sequence[np.ndarray]
+) -> float:
+    """Absolute trajectory error (RMSE of positions) after rigid Umeyama
+    alignment of the estimated trajectory onto the ground truth."""
+    est = np.stack([p[:3, 3] for p in est_poses])
+    gt = np.stack([p[:3, 3] for p in gt_poses])
+    if len(est) >= 3 and np.linalg.matrix_rank(est - est.mean(0)) >= 2:
+        tf, ok = estimate_rigid_point_to_point(
+            jnp.asarray(est, jnp.float32), jnp.asarray(gt, jnp.float32)
+        )
+        if bool(ok):
+            est = est @ np.asarray(tf.linear).T + np.asarray(tf.translation)
+    return float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=1))))
+
+
+# ---------------------------------------------------------------------------
+# Synthetic RGBD sequence (self-contained benchmark input).
+# ---------------------------------------------------------------------------
+
+
+def synthetic_sequence(
+    num_frames: int,
+    h: int,
+    w: int,
+    intrinsics: CameraIntrinsics,
+    *,
+    seed: int = 0,
+    motion_scale: float = 0.004,
+) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """Render a wavy-room depth sequence from a smoothly moving camera.
+
+    Returns (depth frames, ground-truth camera-to-world 4×4 poses). The
+    scene is a dense height-field point set rendered through the z-buffer,
+    so frames are mutually consistent (same geometry, different viewpoints).
+    """
+    from ..core.rgbd import points_to_depth_image
+    from ..core.transforms import Transform as T
+
+    rng = np.random.default_rng(seed)
+    # Dense scene: height field over x-y at ~2 m depth, 4 samples per pixel.
+    gx, gy = np.meshgrid(
+        np.linspace(-1.6, 1.6, 2 * w), np.linspace(-1.2, 1.2, 2 * h)
+    )
+    gz = (
+        2.0
+        + 0.25 * np.sin(2.0 * gx) * np.cos(1.5 * gy)
+        + 0.05 * np.sin(7.0 * gx)
+    )
+    scene = np.column_stack(
+        [gx.ravel(), gy.ravel(), gz.ravel()]
+    ).astype(np.float32)
+    scene_j = jnp.asarray(scene)
+
+    depths, poses = [], []
+    ang = 0.0
+    pos = np.zeros(3)
+    vel = rng.standard_normal(3) * motion_scale
+    for i in range(num_frames):
+        r = np.array(
+            [
+                [np.cos(ang), 0, np.sin(ang)],
+                [0, 1, 0],
+                [-np.sin(ang), 0, np.cos(ang)],
+            ],
+            np.float32,
+        )
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = r
+        pose[:3, 3] = pos
+        poses.append(pose)
+        # Render: scene in camera frame = R⁻¹(X − t).
+        cam_pts = (scene - pose[:3, 3]) @ r  # (N, 3) @ R = Rᵀ applied rowwise
+        d = points_to_depth_image(
+            jnp.asarray(cam_pts.astype(np.float32)), intrinsics, h, w
+        )
+        # Fill tiny z-buffer holes with a 3×3 min-pool of neighbors.
+        dn = np.asarray(d)
+        holes = dn == 0
+        if holes.any():
+            from scipy.ndimage import grey_dilation
+
+            filled = grey_dilation(np.where(holes, 0.0, dn), size=3)
+            dn = np.where(holes, filled, dn)
+        depths.append(dn.astype(np.float32))
+        # Smooth random walk.
+        ang += rng.standard_normal() * motion_scale
+        vel = 0.9 * vel + rng.standard_normal(3) * motion_scale * 0.5
+        pos = pos + vel
+    return depths, poses

@@ -136,7 +136,18 @@ def read_point_cloud(path: str):
 
     Returns ``(points f32 (N,3), normals or None, colors in [0,1] or None)`` —
     the payload of the reference's ``PointCloud::fromPLYFile``.
+
+    Uses the native C++ codec when available (cilantro_tpu/native), falling
+    back to the pure-Python parser.
     """
+    try:
+        from ..native import ply_read_native
+
+        native = ply_read_native(path)
+        if native is not None:
+            return native
+    except (OSError, ValueError):
+        pass  # fall back to the Python parser
     elements = read_ply(path)
     if "vertex" not in elements:
         raise ValueError("PLY has no vertex element")

@@ -1,0 +1,34 @@
+"""End-to-end fusion driver: synthetic sequence, ATE vs ground truth."""
+
+import numpy as np
+
+from cilantro_tpu.core import CameraIntrinsics
+from cilantro_tpu.slam import ate_rmse, run_fusion_sequence, synthetic_sequence
+
+
+def test_sequence_ate_small():
+    k = CameraIntrinsics.make(120.0, 120.0, 63.5, 47.5)
+    h, w = 96, 128
+    depths, gt = synthetic_sequence(8, h, w, k, seed=0)
+    fmap, metrics = run_fusion_sequence(depths, k, map_capacity=6 * h * w)
+    assert metrics.frames == 8
+    err = ate_rmse(metrics.poses, gt)
+    # Camera moves ~4 mm/frame; trajectory must track well under that.
+    assert err < 0.01, f"ATE {err}"
+    assert metrics.num_map_points > h * w * 0.5
+
+
+def test_ate_alignment_invariance():
+    # ATE of an exactly-shifted trajectory is ~0 after alignment.
+    gt = []
+    est = []
+    rng = np.random.default_rng(0)
+    shift = np.float32([1.0, -2.0, 0.5])
+    for i in range(10):
+        p = np.eye(4, dtype=np.float32)
+        p[:3, 3] = rng.standard_normal(3)
+        gt.append(p)
+        q = p.copy()
+        q[:3, 3] += shift
+        est.append(q)
+    assert ate_rmse(est, gt) < 1e-4
