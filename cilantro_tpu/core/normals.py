@@ -106,3 +106,50 @@ def estimate_normals_knn_in_radius(
     **kwargs,
 ):
     return estimate_normals_radius(points, radius, max_neighbors=k, **kwargs)
+
+
+@partial(jax.jit, static_argnames=("k", "num_trials", "num_refinements"))
+def estimate_normals_robust(
+    key: jax.Array,
+    points: jax.Array,
+    k: int = 16,
+    *,
+    valid: Optional[jax.Array] = None,
+    view_point: Optional[jax.Array] = None,
+    num_trials: int = 6,
+    num_refinements: int = 3,
+    keep_fraction: float = 0.75,
+):
+    """Normals from Minimum-Covariance-Determinant neighborhood fits — the
+    reference's robust path where ``MinimumCovarianceDeterminant`` is the
+    drop-in ``CovarianceT`` for ``NormalEstimation``
+    (``core/covariance.hpp:188-371``; defaults ``:365-367``). Resistant to
+    outliers/mixed surfaces inside the neighborhood."""
+    from .covariance import mcd_mean_cov
+
+    nb = knn_search(points, points, k, query_valid=valid, key_valid=valid)
+    gathered = points[nb.indices]  # (Q, k, D)
+    keys = jax.random.split(key, points.shape[0])
+    _, cov, ok = jax.vmap(
+        lambda kk, pts, m: mcd_mean_cov(
+            kk,
+            pts,
+            m,
+            num_trials=num_trials,
+            num_refinements=num_refinements,
+            keep_fraction=keep_fraction,
+        )
+    )(keys, gathered, nb.mask)
+    w, v = jnp.linalg.eigh(cov)
+    normal = v[..., :, 0]
+    lam0 = jnp.maximum(w[..., 0], 0.0)
+    trace = jnp.maximum(jnp.sum(jnp.maximum(w, 0.0), axis=-1), 1e-30)
+    curvature = lam0 / trace
+    if view_point is not None:
+        sign = jnp.sign(
+            jnp.sum(normal * (view_point - points), axis=-1, keepdims=True)
+        )
+        normal = normal * jnp.where(sign == 0, 1.0, sign)
+    ok = ok & (nb.counts() >= 3)
+    normal = jnp.where(ok[..., None], normal, 0.0)
+    return normal, jnp.where(ok, curvature, 0.0), ok

@@ -105,7 +105,7 @@ def radius_search(
         exclude_self=exclude_self,
         backend=backend,
     )
-    r = radius * radius if metric == "l2" else radius
+    r = radius * radius if metric in ("l2", "so2") else radius
     mask = nb.mask & (nb.distances <= r)
     return Neighborhoods(
         indices=jnp.where(mask, nb.indices, 0),

@@ -56,7 +56,31 @@ def _tile_dist_l1(q: jax.Array, m: jax.Array) -> jax.Array:
     return jnp.sum(jnp.abs(q[:, None, :] - m[None, :, :]), axis=-1)
 
 
-_TILE_DISTS = {"l2": _tile_dist2_l2, "l1": _tile_dist_l1}
+def _tile_dist_so2(q: jax.Array, m: jax.Array) -> jax.Array:
+    """Squared angular distance between (N, 1) angles (reference SO2 metric
+    adaptor, ``core/kd_tree.hpp:11-61``): wraps to (−π, π]."""
+    diff = q[:, None, 0] - m[None, :, 0]
+    wrapped = jnp.mod(diff + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+    return wrapped * wrapped
+
+
+def _tile_dist_so3(q: jax.Array, m: jax.Array) -> jax.Array:
+    """Rotation distance between (N, 4) unit quaternions (reference SO3
+    metric adaptor): ``1 − (q·q')²`` — monotone in the rotation angle and
+    sign-invariant, computed as one MXU matmul."""
+    dots = jnp.dot(
+        q, m.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.maximum(1.0 - dots * dots, 0.0)
+
+
+_TILE_DISTS = {
+    "l2": _tile_dist2_l2,
+    "l1": _tile_dist_l1,
+    "so2": _tile_dist_so2,
+    "so3": _tile_dist_so3,
+}
 
 
 def _use_pallas(metric: str, dim: int) -> bool:

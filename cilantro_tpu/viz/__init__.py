@@ -1,0 +1,7 @@
+from .offline import (  # noqa: F401
+    render_cloud_image,
+    save_cloud_png,
+    save_trajectory_png,
+    dump_artifacts,
+    auto_camera,
+)
