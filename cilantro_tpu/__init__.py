@@ -28,4 +28,15 @@ import jax as _jax
 # ``precision=`` / explicit dtype casts.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-from . import core, neighbors, utils  # noqa: F401
+from . import (  # noqa: F401
+    clustering,
+    core,
+    correspondence,
+    model_estimation,
+    neighbors,
+    parallel,
+    registration,
+    slam,
+    spatial,
+    utils,
+)

@@ -189,28 +189,36 @@ def _zbuffer_winner(
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-pixel winning point index (smallest z; ties → smallest index) and
     its depth. Returns ``(index (H, W) int32, depth (H, W))``; empty pixels
-    hold index -1 and depth 0."""
+    hold index -1 and depth 0.
+
+    Sort-based: XLA scatter-min serializes on TPU, so instead points are
+    sorted by (pixel, z, index) and the first element of each pixel run wins;
+    the single remaining scatter has unique indices (one winner per pixel),
+    which lowers to the fast scatter path.
+    """
     n = points.shape[0]
     u, v, z = project_points(points, intrinsics)
     ok = valid & (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
-    pix = jnp.where(ok, v * w + u, h * w)  # dump slot
-    big = jnp.float32(3e38)
-    zmin = (
-        jnp.full((h * w + 1,), big)
-        .at[pix]
-        .min(jnp.where(ok, z, big))
-    )
-    is_win = ok & (z <= zmin[pix])
+    pix = jnp.where(ok, v * w + u, h * w)  # dump bucket sorts last
     idx = jnp.arange(n, dtype=jnp.int32)
-    winner = (
-        jnp.full((h * w + 1,), n, jnp.int32)
-        .at[pix]
-        .min(jnp.where(is_win, idx, n))
+    order = jnp.lexsort((idx, z, pix))
+    pix_s = pix[order]
+    first = jnp.concatenate([jnp.ones(1, bool), pix_s[1:] != pix_s[:-1]])
+    win = first & (pix_s < h * w)
+    # Non-winners target h*w — out of bounds for the (h*w,) image, so
+    # mode="drop" discards them and the surviving indices are unique.
+    tgt = jnp.where(win, pix_s, h * w)
+    index_map = (
+        jnp.full((h * w,), -1, jnp.int32)
+        .at[tgt]
+        .set(order.astype(jnp.int32), mode="drop", unique_indices=True)
     )
-    winner = winner[: h * w]
-    index_map = jnp.where(winner < n, winner, -1).reshape(h, w)
-    depth_map = jnp.where(zmin[: h * w] < big, zmin[: h * w], 0.0).reshape(h, w)
-    return index_map, depth_map
+    depth_map = (
+        jnp.zeros((h * w,))
+        .at[tgt]
+        .set(z[order], mode="drop", unique_indices=True)
+    )
+    return index_map.reshape(h, w), depth_map.reshape(h, w)
 
 
 @partial(jax.jit, static_argnames=("h", "w"))

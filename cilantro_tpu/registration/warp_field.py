@@ -62,10 +62,36 @@ class DeformationGraph:
     arc_i: jax.Array
     arc_j: jax.Array
     arc_mask: jax.Array
+    # Precomputed sort of the flattened anchor ids: segment reductions over a
+    # sorted key take XLA's vectorized path instead of serialized
+    # scatter-adds (the graph is fixed, so sorting once at build time makes
+    # every CG matvec cheap).
+    anchor_order: jax.Array  # (N·K,) permutation
+    anchor_sorted_ids: jax.Array  # (N·K,) node ids, ascending
+    arc_j_order: jax.Array  # (A,) permutation sorting arc_j
+    arc_j_sorted: jax.Array  # (A,) ascending
 
     @property
     def num_nodes(self) -> int:
         return self.node_positions.shape[0]
+
+    def segment_over_anchors(self, values: jax.Array) -> jax.Array:
+        """Σ over anchors per node; ``values (N, K, ...)`` → ``(M, ...)``."""
+        flat = values.reshape((values.shape[0] * values.shape[1],) + values.shape[2:])
+        return jax.ops.segment_sum(
+            flat[self.anchor_order],
+            self.anchor_sorted_ids,
+            num_segments=self.num_nodes,
+            indices_are_sorted=True,
+        )
+
+    def segment_over_arc_j(self, values: jax.Array) -> jax.Array:
+        return jax.ops.segment_sum(
+            values[self.arc_j_order],
+            self.arc_j_sorted,
+            num_segments=self.num_nodes,
+            indices_are_sorted=True,
+        )
 
 
 def build_deformation_graph(
@@ -112,14 +138,33 @@ def build_deformation_graph(
     arc_mask = arcs.mask.reshape(-1)
     if node_valid is None:
         node_valid = jnp.ones(m, bool)
-    return DeformationGraph(
-        node_positions=node_positions,
-        node_valid=node_valid,
-        anchors=nb.indices,
-        anchor_weights=w,
-        arc_i=arc_i,
-        arc_j=arc_j,
-        arc_mask=arc_mask,
+    return _with_sort_caches(
+        DeformationGraph(
+            node_positions=node_positions,
+            node_valid=node_valid,
+            anchors=nb.indices,
+            anchor_weights=w,
+            arc_i=arc_i,
+            arc_j=arc_j,
+            arc_mask=arc_mask,
+            anchor_order=jnp.zeros(0, jnp.int32),
+            anchor_sorted_ids=jnp.zeros(0, jnp.int32),
+            arc_j_order=jnp.zeros(0, jnp.int32),
+            arc_j_sorted=jnp.zeros(0, jnp.int32),
+        )
+    )
+
+
+def _with_sort_caches(g: DeformationGraph) -> DeformationGraph:
+    flat = g.anchors.reshape(-1)
+    order = jnp.argsort(flat)
+    jorder = jnp.argsort(g.arc_j)
+    return dataclasses.replace(
+        g,
+        anchor_order=order.astype(jnp.int32),
+        anchor_sorted_ids=flat[order],
+        arc_j_order=jorder.astype(jnp.int32),
+        arc_j_sorted=g.arc_j[jorder],
     )
 
 
@@ -293,13 +338,8 @@ def estimate_warp_field(
             else:
                 perp = jnp.stack([-y[..., 1], y[..., 0]], axis=-1)
                 gw = jnp.sum(perp * gk, axis=-1, keepdims=True)
-            flat_idx = graph.anchors.reshape(-1)
-            acc_w = jax.ops.segment_sum(
-                gw.reshape(-1, gw.shape[-1]), flat_idx, num_segments=m
-            )
-            acc_t = jax.ops.segment_sum(
-                gk.reshape(-1, d), flat_idx, num_segments=m
-            )
+            acc_w = graph.segment_over_anchors(gw)
+            acc_t = graph.segment_over_anchors(gk)
             # Arc rows (weight stiffness · huber).
             ga = (stiffness * w_arc)[:, None] * va  # (A, D)
             if d == 3:
@@ -316,10 +356,15 @@ def estimate_warp_field(
                     axis=-1,
                     keepdims=True,
                 )
-            acc_w = acc_w + jax.ops.segment_sum(gw_i, graph.arc_i, num_segments=m)
-            acc_w = acc_w + jax.ops.segment_sum(gw_j, graph.arc_j, num_segments=m)
-            acc_t = acc_t + jax.ops.segment_sum(ga, graph.arc_i, num_segments=m)
-            acc_t = acc_t - jax.ops.segment_sum(ga, graph.arc_j, num_segments=m)
+            # arc_i = repeat(arange) is sorted by construction.
+            acc_w = acc_w + jax.ops.segment_sum(
+                gw_i, graph.arc_i, num_segments=m, indices_are_sorted=True
+            )
+            acc_w = acc_w + graph.segment_over_arc_j(gw_j)
+            acc_t = acc_t + jax.ops.segment_sum(
+                ga, graph.arc_i, num_segments=m, indices_are_sorted=True
+            )
+            acc_t = acc_t - graph.segment_over_arc_j(ga)
             return jnp.concatenate([acc_w, acc_t], axis=1)  # (M, 2D)
 
         def normal_matvec(delta):
@@ -334,20 +379,16 @@ def estimate_warp_field(
             w_data = w_pp + w_pl
             ww = w_data[:, None] * wa**2  # (N, K)
             y2 = jnp.sum(y * y, axis=-1)  # (N, K)
-            flat_idx = graph.anchors.reshape(-1)
-            acc_w = jax.ops.segment_sum(
-                (ww * y2).reshape(-1), flat_idx, num_segments=m
-            )
-            acc_t = jax.ops.segment_sum(ww.reshape(-1), flat_idx, num_segments=m)
+            acc_w = graph.segment_over_anchors(ww * y2)
+            acc_t = graph.segment_over_anchors(ww)
             sa = stiffness * w_arc
             arc_w = jax.ops.segment_sum(
-                sa * jnp.sum(y_jl * y_jl, -1), graph.arc_i, num_segments=m
-            ) + jax.ops.segment_sum(
-                sa * jnp.sum(y_ll * y_ll, -1), graph.arc_j, num_segments=m
-            )
+                sa * jnp.sum(y_jl * y_jl, -1), graph.arc_i, num_segments=m,
+                indices_are_sorted=True,
+            ) + graph.segment_over_arc_j(sa * jnp.sum(y_ll * y_ll, -1))
             arc_t = jax.ops.segment_sum(
-                sa, graph.arc_i, num_segments=m
-            ) + jax.ops.segment_sum(sa, graph.arc_j, num_segments=m)
+                sa, graph.arc_i, num_segments=m, indices_are_sorted=True
+            ) + graph.segment_over_arc_j(sa)
             n_w_cols = d if d == 3 else 1
             dw_diag = jnp.broadcast_to(
                 (acc_w + arc_w)[:, None], (m, n_w_cols)
@@ -542,12 +583,18 @@ def build_dense_graph(
         key_valid=src_valid,
         exclude_self=True,
     )
-    return DeformationGraph(
-        node_positions=src_points,
-        node_valid=src_valid,
-        anchors=jnp.arange(n, dtype=jnp.int32)[:, None],
-        anchor_weights=src_valid.astype(src_points.dtype)[:, None],
-        arc_i=jnp.repeat(jnp.arange(n, dtype=jnp.int32), k_arcs),
-        arc_j=arcs.indices.reshape(-1),
-        arc_mask=arcs.mask.reshape(-1),
+    return _with_sort_caches(
+        DeformationGraph(
+            node_positions=src_points,
+            node_valid=src_valid,
+            anchors=jnp.arange(n, dtype=jnp.int32)[:, None],
+            anchor_weights=src_valid.astype(src_points.dtype)[:, None],
+            arc_i=jnp.repeat(jnp.arange(n, dtype=jnp.int32), k_arcs),
+            arc_j=arcs.indices.reshape(-1),
+            arc_mask=arcs.mask.reshape(-1),
+            anchor_order=jnp.zeros(0, jnp.int32),
+            anchor_sorted_ids=jnp.zeros(0, jnp.int32),
+            arc_j_order=jnp.zeros(0, jnp.int32),
+            arc_j_sorted=jnp.zeros(0, jnp.int32),
+        )
     )

