@@ -3,3 +3,4 @@ from .sharded import (  # noqa: F401
     sharded_combined_icp,
     shard_cloud_arrays,
 )
+from .sharded import ring_nn1  # noqa: F401

@@ -208,3 +208,64 @@ def shard_cloud_arrays(mesh: Mesh, axis: str, *arrays):
         spec = P(axis, *([None] * (a.ndim - 1)))
         out.append(jax.device_put(a, NamedSharding(mesh, spec)))
     return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# Ring-rotation NN: the ring-attention analogue for neighbor search.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def ring_nn1(
+    queries: jax.Array,  # (Q, 3) sharded over 'points'
+    query_valid: jax.Array,
+    map_points: jax.Array,  # (M, 3) sharded over 'points'
+    map_payload: jax.Array,  # (M, P) sharded — carried to the winner
+    map_valid: jax.Array,
+    *,
+    mesh: Mesh,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact sharded NN without replication: query blocks ROTATE around the
+    device ring (``ppermute`` over ICI) while map shards stay resident; each
+    block's running best travels with it and is home after a full lap.
+
+    This is the memory-scaling alternative to the all_gather tournament in
+    :func:`sharded_combined_icp`: no array ever holds more than one shard of
+    either cloud per device (SURVEY §5's ring-exchange plan). Returns
+    ``(dist (Q,), payload (Q, P))`` with INVALID_DIST where nothing matched.
+    """
+    axis = "points"
+    nshards = mesh.shape[axis]
+
+    def program(q, qv, mp, pay, mv):
+        def local_best(qblock):
+            return _local_nn_payload(qblock, mp, pay, mv)
+
+        best_d = jnp.full((q.shape[0],), INVALID_DIST)
+        best_p = jnp.zeros((q.shape[0], pay.shape[1]), pay.dtype)
+        carry = (q, best_d, best_p)
+        perm = [(i, (i + 1) % nshards) for i in range(nshards)]
+        for _ in range(nshards):
+            qb, bd, bp = carry
+            d_loc, p_loc = local_best(qb)
+            better = d_loc < bd
+            bd = jnp.where(better, d_loc, bd)
+            bp = jnp.where(better[:, None], p_loc, bp)
+            carry = jax.lax.ppermute((qb, bd, bp), axis, perm)
+        _, bd, bp = carry
+        bd = jnp.where(qv, bd, INVALID_DIST)
+        return bd, bp
+
+    return jax.shard_map(
+        program,
+        mesh=mesh,
+        in_specs=(
+            P("points", None),
+            P("points"),
+            P("points", None),
+            P("points", None),
+            P("points"),
+        ),
+        out_specs=(P("points"), P("points", None)),
+        check_vma=False,
+    )(queries, query_valid, map_points, map_payload, map_valid)

@@ -135,13 +135,26 @@ def synthetic_sequence(
     """Render a wavy-room depth sequence from a smoothly moving camera.
 
     Returns (depth frames, ground-truth camera-to-world 4×4 poses). The
-    scene is a dense height-field point set rendered through the z-buffer,
-    so frames are mutually consistent (same geometry, different viewpoints).
+    scene is a dense height-field point set rendered through a numpy
+    z-buffer — data generation stays on the host so benchmarks measure the
+    pipeline, not the renderer, and no device compile is spent on it.
     """
-    from ..core.rgbd import points_to_depth_image
-    from ..core.transforms import Transform as T
-
     rng = np.random.default_rng(seed)
+    fx = float(np.asarray(intrinsics.fx))
+    fy = float(np.asarray(intrinsics.fy))
+    cx = float(np.asarray(intrinsics.cx))
+    cy = float(np.asarray(intrinsics.cy))
+
+    def render_depth(cam_pts: np.ndarray) -> np.ndarray:
+        z = cam_pts[:, 2]
+        ok = z > 0
+        u = np.round(cam_pts[:, 0] * fx / np.where(ok, z, 1.0) + cx).astype(np.int64)
+        v = np.round(cam_pts[:, 1] * fy / np.where(ok, z, 1.0) + cy).astype(np.int64)
+        ok &= (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        pix = v[ok] * w + u[ok]
+        zbuf = np.full(h * w, np.inf, np.float32)
+        np.minimum.at(zbuf, pix, z[ok].astype(np.float32))
+        return np.where(np.isinf(zbuf), 0.0, zbuf).reshape(h, w)
     # Dense scene: height field over x-y at ~2 m depth, 4 samples per pixel.
     gx, gy = np.meshgrid(
         np.linspace(-1.6, 1.6, 2 * w), np.linspace(-1.2, 1.2, 2 * h)
@@ -154,7 +167,6 @@ def synthetic_sequence(
     scene = np.column_stack(
         [gx.ravel(), gy.ravel(), gz.ravel()]
     ).astype(np.float32)
-    scene_j = jnp.asarray(scene)
 
     depths, poses = [], []
     ang = 0.0
@@ -175,11 +187,8 @@ def synthetic_sequence(
         poses.append(pose)
         # Render: scene in camera frame = R⁻¹(X − t).
         cam_pts = (scene - pose[:3, 3]) @ r  # (N, 3) @ R = Rᵀ applied rowwise
-        d = points_to_depth_image(
-            jnp.asarray(cam_pts.astype(np.float32)), intrinsics, h, w
-        )
+        dn = render_depth(cam_pts.astype(np.float32))
         # Fill tiny z-buffer holes with a 3×3 min-pool of neighbors.
-        dn = np.asarray(d)
         holes = dn == 0
         if holes.any():
             from scipy.ndimage import grey_dilation

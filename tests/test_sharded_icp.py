@@ -43,3 +43,30 @@ def test_sharded_icp_recovers(rng):
     assert np.linalg.norm(np.asarray(tf.linear) - r) < 1e-4
     assert np.linalg.norm(np.asarray(tf.translation) - t) < 1e-4
     assert int(iters) < 30
+
+
+def test_ring_nn1_matches_local(rng):
+    from cilantro_tpu.parallel import ring_nn1
+    from cilantro_tpu.neighbors import nn1
+
+    import jax.numpy as jnp
+
+    n, m = 1024, 2048
+    q = rng.standard_normal((n, 3)).astype(np.float32)
+    keys = rng.standard_normal((m, 3)).astype(np.float32)
+    payload = np.concatenate([keys, keys * 2.0], axis=1).astype(np.float32)
+
+    mesh = make_mesh(8, 1)
+    q_s, qv = shard_cloud_arrays(mesh, "points", q, np.ones(n, bool))
+    k_s, p_s, kv = shard_cloud_arrays(
+        mesh, "points", keys, payload, np.ones(m, bool)
+    )
+    d_ring, p_ring = ring_nn1(q_s, qv, k_s, p_s, kv, mesh=mesh)
+
+    d_ref, i_ref = nn1(jnp.asarray(q), jnp.asarray(keys))
+    np.testing.assert_allclose(
+        np.asarray(d_ring), np.asarray(d_ref), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_ring)[:, :3], keys[np.asarray(i_ref)], atol=1e-6
+    )
