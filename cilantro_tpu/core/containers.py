@@ -100,6 +100,72 @@ class PointCloud:
             ok &= jnp.all(jnp.isfinite(self.colors), axis=-1)
         return dataclasses.replace(self, valid=self.valid_mask() & ok)
 
+    # -- chained convenience ops (reference PointCloud API) ----------------
+
+    def grid_downsampled(
+        self, bin_size: float, min_points_in_bin: int = 1
+    ) -> "PointCloud":
+        """Reference ``PointCloud::gridDownsample`` (``point_cloud.hpp:247-290``)."""
+        from .grid import grid_downsample
+
+        return grid_downsample(self, bin_size, min_points_in_bin)
+
+    def with_normals_knn(
+        self, k: int = 12, view_point=None
+    ) -> "PointCloud":
+        """Reference ``estimateNormalsKNN`` (``point_cloud.hpp:294-307``);
+        default view point = origin, as the reference."""
+        from .normals import estimate_normals_knn
+
+        if view_point is None:
+            view_point = jnp.zeros(self.dim, self.points.dtype)
+        normals, _, ok = estimate_normals_knn(
+            self.points, k, valid=self.valid, view_point=view_point
+        )
+        return dataclasses.replace(
+            self, normals=normals, valid=self.valid_mask() & ok
+        )
+
+    def with_normals_radius(
+        self, radius: float, max_neighbors: int = 32, view_point=None
+    ) -> "PointCloud":
+        from .normals import estimate_normals_radius
+
+        if view_point is None:
+            view_point = jnp.zeros(self.dim, self.points.dtype)
+        normals, _, ok = estimate_normals_radius(
+            self.points,
+            radius,
+            max_neighbors,
+            valid=self.valid,
+            view_point=view_point,
+        )
+        return dataclasses.replace(
+            self, normals=normals, valid=self.valid_mask() & ok
+        )
+
+    def to_ply(self, path: str, binary: bool = True) -> None:
+        """Reference ``toPLYFile``; drops invalid slots host-side."""
+        import numpy as np
+        from ..utils.ply_io import write_point_cloud
+
+        mask = np.asarray(self.valid_mask())
+        write_point_cloud(
+            path,
+            np.asarray(self.points)[mask],
+            None if self.normals is None else np.asarray(self.normals)[mask],
+            None if self.colors is None else np.asarray(self.colors)[mask],
+            binary=binary,
+        )
+
+    @staticmethod
+    def from_ply(path: str, capacity: Optional[int] = None) -> "PointCloud":
+        """Reference PLY ctor (``point_cloud.hpp:118-121``)."""
+        from ..utils.ply_io import read_point_cloud
+
+        pts, normals, colors = read_point_cloud(path)
+        return from_numpy(pts, normals, colors, capacity=capacity)
+
 
 def from_numpy(
     points: np.ndarray,

@@ -146,3 +146,21 @@ def test_neighborhood_cov_masked(rng):
     )
     np.testing.assert_allclose(mean[0], pts[[0, 5]].mean(0), atol=1e-5)
     np.testing.assert_allclose(mean[1], pts[[1, 6, 11]].mean(0), atol=1e-5)
+
+
+class TestPointCloudConvenience:
+    def test_chained_ops(self, tmp_path, rng):
+        import numpy as np
+        import jax.numpy as jnp
+        from cilantro_tpu.core.containers import PointCloud, from_numpy
+
+        pts = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+        cloud = from_numpy(pts)
+        down = cloud.grid_downsampled(0.25)
+        assert int(down.num_valid()) < 500
+        with_n = down.with_normals_knn(k=8)
+        assert with_n.normals is not None
+        p = str(tmp_path / "c.ply")
+        with_n.to_ply(p)
+        back = PointCloud.from_ply(p)
+        assert int(back.num_valid()) == int(with_n.num_valid())
