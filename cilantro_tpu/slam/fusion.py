@@ -239,9 +239,16 @@ def integrate_frame(
     valid = valid.at[carve_tgt].set(False, **uq)
 
     # --- augment: assign the i-th new point to the i-th free slot ---------
-    # Free slots in increasing order via one stable sort (scatter-free).
+    # rank→slot built with one unique-index scatter (ranks of free slots are
+    # distinct), avoiding a capacity-sized sort per frame.
     free = ~valid
-    slot_of_rank = jnp.argsort(~free, stable=True).astype(jnp.int32)
+    rank_of_slot = jnp.cumsum(free.astype(jnp.int32)) - 1
+    cap_ids = jnp.arange(fmap.capacity, dtype=jnp.int32)
+    slot_of_rank = (
+        jnp.zeros((fmap.capacity,), jnp.int32)
+        .at[jnp.where(free, rank_of_slot, fmap.capacity)]
+        .set(cap_ids, mode="drop", unique_indices=True)
+    )
     num_free = jnp.sum(free)
     aug_rank = jnp.cumsum(do_augment.astype(jnp.int32)) - 1  # per pixel
     aug_slot = slot_of_rank[jnp.clip(aug_rank, 0, fmap.capacity - 1)]
