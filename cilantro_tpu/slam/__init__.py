@@ -14,3 +14,4 @@ from .driver import (  # noqa: F401
     run_fusion_sequence,
     synthetic_sequence,
 )
+from .fusion import fusion_step  # noqa: F401

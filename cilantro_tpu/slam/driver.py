@@ -27,6 +27,7 @@ from ..registration.transform_estimation import estimate_rigid_point_to_point
 from .fusion import (
     FusionConfig,
     FusionMap,
+    fusion_step,
     init_map_from_frame,
     integrate_frame,
     localize,
@@ -78,15 +79,12 @@ def run_fusion_sequence(
     t0 = time.perf_counter()
     for fi in range(1, len(depths)):
         pts, nrm, valid = depth_to_points_normals(staged[fi], intrinsics)
-        pose, res = localize(
-            fmap, pts, nrm, valid, pose, intrinsics, height=h, width=w, cfg=cfg
+        colf = col_staged[fi] if col_staged is not None else None
+        fmap, pose, res = fusion_step(
+            fmap, pts, nrm, colf, valid, pose, intrinsics,
+            height=h, width=w, cfg=cfg,
+            do_integrate=(fi % integrate_every == 0),
         )
-        if fi % integrate_every == 0:
-            colf = col_staged[fi] if col_staged is not None else None
-            fmap = integrate_frame(
-                fmap, pts, nrm, colf, valid, pose, intrinsics,
-                height=h, width=w, cfg=cfg,
-            )
         poses_dev.append(pose.matrix())
         iters_dev.append(res.iterations)
     # One sync at the end bounds the whole pipeline.

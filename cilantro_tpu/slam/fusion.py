@@ -268,3 +268,49 @@ def integrate_frame(
         confidence=confidence,
         valid=valid,
     )
+
+
+@partial(
+    jax.jit, static_argnames=("height", "width", "cfg", "do_integrate")
+)
+def fusion_step(
+    fmap: FusionMap,
+    frame_points: jax.Array,
+    frame_normals: jax.Array,
+    frame_colors: Optional[jax.Array],
+    frame_valid: jax.Array,
+    pose_guess: Transform,
+    intrinsics: CameraIntrinsics,
+    *,
+    height: int,
+    width: int,
+    cfg: FusionConfig = FusionConfig(),
+    do_integrate: bool = True,
+) -> Tuple[FusionMap, Transform, ICPResult]:
+    """One full fusion frame (localize + integrate) as a single program —
+    one dispatch per frame keeps the device streaming over the host loop."""
+    pose, res = localize(
+        fmap,
+        frame_points,
+        frame_normals,
+        frame_valid,
+        pose_guess,
+        intrinsics,
+        height=height,
+        width=width,
+        cfg=cfg,
+    )
+    if do_integrate:
+        fmap = integrate_frame(
+            fmap,
+            frame_points,
+            frame_normals,
+            frame_colors,
+            frame_valid,
+            pose,
+            intrinsics,
+            height=height,
+            width=width,
+            cfg=cfg,
+        )
+    return fmap, pose, res
