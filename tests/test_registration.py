@@ -284,3 +284,33 @@ class TestCorrespondences:
             src, dst, jnp.array([0, 1]), jnp.array([True, True]), max_distance=0.1
         )
         assert np.asarray(corr.mask).tolist() == [True, False]
+
+
+class TestMultiresICP:
+    def test_multires_recovers(self, rng):
+        # Dense surface; coarse level at 0.1 voxels then full-res polish.
+        xy = rng.uniform(-1, 1, (3000, 2)).astype(np.float32)
+        z = (0.3 * np.sin(2 * xy[:, 0]) * np.cos(2 * xy[:, 1])).astype(np.float32)
+        pts = np.column_stack([xy, z])
+        ang = 0.04
+        r = np.array(
+            [
+                [np.cos(ang), -np.sin(ang), 0],
+                [np.sin(ang), np.cos(ang), 0],
+                [0, 0, 1],
+            ],
+            np.float32,
+        )
+        t = np.array([0.02, -0.01, 0.01], np.float32)
+        dst = pts @ r.T + t
+        from cilantro_tpu.registration import icp_multires
+
+        res = icp_multires(
+            jnp.asarray(pts),
+            jnp.asarray(dst),
+            metric="point_to_point",
+            levels=((0.1, 8, 2048, 0.09), (None, 15, None, 0.01)),
+            convergence_tol=1e-7,
+        )
+        assert rot_err(res.transform.linear, r) < 1e-3
+        assert np.linalg.norm(np.asarray(res.transform.translation) - t) < 1e-3
