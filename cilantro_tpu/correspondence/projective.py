@@ -47,10 +47,14 @@ def find_projective_correspondences(
     *,
     tf: Optional[Transform] = None,
     src_valid: Optional[jax.Array] = None,
-    max_distance: Optional[float] = None,
+    dst_valid: Optional[jax.Array] = None,
+    max_distance: Optional[jax.Array] = None,
 ) -> Correspondences:
     """Project (transformed) src points; correspondence = dst point rendered
-    at the hit pixel. ``max_distance`` gates squared 3D distance."""
+    at the hit pixel. ``max_distance`` gates squared 3D distance.
+
+    ``dst_valid`` re-gates hits whose dst point was invalidated after the
+    index map was rendered (stale-map reuse across fusion frames)."""
     h, w = index_map.shape
     s = src_points if tf is None else tf.apply(src_points)
     u, v, z = project_points(s, intrinsics)
@@ -60,6 +64,8 @@ def find_projective_correspondences(
     mask = in_img & (hit >= 0)
     if src_valid is not None:
         mask &= src_valid
+    if dst_valid is not None:
+        mask &= dst_valid[jnp.where(mask, hit, 0)]
     safe_hit = jnp.where(mask, hit, 0)
     diff = dst_points[safe_hit] - s
     dist = jnp.sum(diff * diff, axis=-1)

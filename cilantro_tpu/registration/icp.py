@@ -356,6 +356,7 @@ def icp_projective(
     *,
     height: int,
     width: int,
+    index_map: Optional[jax.Array] = None,
     src_normals: Optional[jax.Array] = None,
     dst_normals: Optional[jax.Array] = None,
     src_valid: Optional[jax.Array] = None,
@@ -386,9 +387,10 @@ def icp_projective(
     d = src_points.shape[1]
     if init is None:
         init = identity(d, dtype=src_points.dtype)
-    index_map = build_projective_target(
-        dst_points, intrinsics, height, width, dst_valid=dst_valid
-    )
+    if index_map is None:
+        index_map = build_projective_target(
+            dst_points, intrinsics, height, width, dst_valid=dst_valid
+        )
     use_symmetric = metric == "combined" and src_normals is not None
 
     def body(carry):
@@ -400,6 +402,7 @@ def icp_projective(
             intrinsics,
             tf=tf,
             src_valid=src_valid,
+            dst_valid=dst_valid,
             max_distance=max_corr_dist_sq,
         )
         s = tf.apply(src_points)

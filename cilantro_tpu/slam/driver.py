@@ -77,11 +77,13 @@ def run_fusion_sequence(
     iters_dev = [jnp.int32(0)]
 
     t0 = time.perf_counter()
+    imap = None
     for fi in range(1, len(depths)):
         pts, nrm, valid = depth_to_points_normals(staged[fi], intrinsics)
         colf = col_staged[fi] if col_staged is not None else None
-        fmap, pose, res = fusion_step(
+        fmap, pose, res, imap = fusion_step(
             fmap, pts, nrm, colf, valid, pose, intrinsics,
+            cached_index_map=imap,
             height=h, width=w, cfg=cfg,
             do_integrate=(fi % integrate_every == 0),
         )

@@ -121,9 +121,15 @@ def localize(
     height: int,
     width: int,
     cfg: FusionConfig = FusionConfig(),
+    index_map: Optional[jax.Array] = None,
 ) -> Tuple[Transform, ICPResult]:
     """Frame-to-model projective ICP. Returns the refined world pose of the
-    frame camera (``fusion.cpp:131-141``)."""
+    frame camera (``fusion.cpp:131-141``).
+
+    ``index_map`` may be the render the previous integrate produced at this
+    very pose (warm-started fusion: pose_guess == previous refined pose), so
+    no re-render is needed; carved points are re-gated via ``fmap.valid``.
+    """
     cam_from_world = inverse(pose_guess)
     model_cam = cam_from_world.apply(fmap.points)
     model_nrm_cam = cam_from_world.apply_normals(fmap.normals)
@@ -133,6 +139,7 @@ def localize(
         intrinsics,
         height=height,
         width=width,
+        index_map=index_map,
         src_normals=frame_normals,
         dst_normals=model_nrm_cam,
         src_valid=frame_valid,
@@ -151,7 +158,7 @@ def localize(
 
 
 @partial(jax.jit, static_argnames=("height", "width", "cfg"))
-def integrate_frame(
+def integrate_frame_with_imap(
     fmap: FusionMap,
     frame_points: jax.Array,  # (H·W, 3) organized, camera frame
     frame_normals: jax.Array,
@@ -165,7 +172,8 @@ def integrate_frame(
     cfg: FusionConfig = FusionConfig(),
 ) -> FusionMap:
     """Fuse / augment / carve one organized frame into the model
-    (``fusion.cpp:148-238``)."""
+    (``fusion.cpp:148-238``). Returns ``(map, index_map)`` — the render at
+    ``pose`` doubles as the next frame's localize target."""
     cam_from_world = inverse(pose)
     model_cam = cam_from_world.apply(fmap.points)
     model_nrm_cam = cam_from_world.apply_normals(fmap.normals)
@@ -261,13 +269,24 @@ def integrate_frame(
     valid = valid.at[aug_tgt].set(True, **uq)
 
     points = jnp.where(valid[:, None], points, 1e30)
-    return FusionMap(
-        points=points,
-        normals=normals,
-        colors=colors,
-        confidence=confidence,
-        valid=valid,
+    return (
+        FusionMap(
+            points=points,
+            normals=normals,
+            colors=colors,
+            confidence=confidence,
+            valid=valid,
+        ),
+        imap,
     )
+
+
+def integrate_frame(*args, **kwargs) -> FusionMap:
+    """Fuse / augment / carve (``fusion.cpp:148-238``); see
+    :func:`integrate_frame_with_imap` for the variant that also returns the
+    rendered index map."""
+    fmap, _ = integrate_frame_with_imap(*args, **kwargs)
+    return fmap
 
 
 @partial(
@@ -282,13 +301,18 @@ def fusion_step(
     pose_guess: Transform,
     intrinsics: CameraIntrinsics,
     *,
+    cached_index_map: Optional[jax.Array] = None,
     height: int,
     width: int,
     cfg: FusionConfig = FusionConfig(),
     do_integrate: bool = True,
-) -> Tuple[FusionMap, Transform, ICPResult]:
+) -> Tuple[FusionMap, Transform, ICPResult, Optional[jax.Array]]:
     """One full fusion frame (localize + integrate) as a single program —
-    one dispatch per frame keeps the device streaming over the host loop."""
+    one dispatch per frame keeps the device streaming over the host loop.
+
+    ``cached_index_map`` is the previous integrate's render (valid because
+    pose_guess == the pose it was rendered at); the new render comes back as
+    the 4th output, halving z-buffer work per frame."""
     pose, res = localize(
         fmap,
         frame_points,
@@ -299,9 +323,11 @@ def fusion_step(
         height=height,
         width=width,
         cfg=cfg,
+        index_map=cached_index_map,
     )
+    new_imap = cached_index_map
     if do_integrate:
-        fmap = integrate_frame(
+        fmap, new_imap = integrate_frame_with_imap(
             fmap,
             frame_points,
             frame_normals,
@@ -313,4 +339,4 @@ def fusion_step(
             width=width,
             cfg=cfg,
         )
-    return fmap, pose, res
+    return fmap, pose, res, new_imap
