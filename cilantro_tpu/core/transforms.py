@@ -21,8 +21,6 @@ TPU-native redesign of the reference's transform layer
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .bruteforce import INVALID_DIST, knn, nn1
+from .bruteforce import INVALID_DIST, knn
 
 
 @jax.tree_util.register_dataclass

@@ -26,7 +26,6 @@ landmarks+observations across devices makes the whole reduction one ``psum``
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Optional, Tuple
 
@@ -37,8 +36,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.transforms import (
     Transform,
     axis_angle_to_rotation,
-    compose,
-    inverse,
     project_to_rotation,
 )
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.rgbd import CameraIntrinsics, depth_to_points_normals
-from ..core.transforms import Transform, identity
+from ..core.transforms import identity
 from ..registration.transform_estimation import estimate_rigid_point_to_point
 from .fusion import (
     FusionConfig,

@@ -33,8 +33,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..core.rgbd import CameraIntrinsics, project_points, _zbuffer_winner
-from ..core.transforms import Transform, compose, identity, inverse
+from ..core.rgbd import CameraIntrinsics, _zbuffer_winner
+from ..core.transforms import Transform, compose, inverse
 from ..registration.icp import ICPResult, icp_projective
 
 

@@ -18,7 +18,6 @@ landmark-scale part of the backend lives in ``bundle_adjustment.py``.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Optional, Tuple
 

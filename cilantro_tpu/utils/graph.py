@@ -8,7 +8,7 @@ Sparse output is (rows, cols, values) COO triplets in fixed shape (masked).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
