@@ -50,11 +50,13 @@ def bench_fusion_tpu(depths, gt, k):
 def bench_fusion_cpu(depths):
     from bench_baseline import fusion_cpu
 
-    t0 = time.perf_counter()
-    fusion_cpu(depths[:CPU_FRAMES], 525.0, 525.0, 319.5, 239.5)
-    dt = (time.perf_counter() - t0) / (CPU_FRAMES - 1)
-    log(f"CPU fusion baseline: {dt*1e3:.0f} ms/frame ({1.0/dt:.2f} fps)")
-    return dt
+    best = float("inf")
+    for _ in range(2):  # best-of-2 guards against host contention spikes
+        t0 = time.perf_counter()
+        fusion_cpu(depths[:CPU_FRAMES], 525.0, 525.0, 319.5, 239.5)
+        best = min(best, (time.perf_counter() - t0) / (CPU_FRAMES - 1))
+    log(f"CPU fusion baseline: {best*1e3:.0f} ms/frame ({1.0/best:.2f} fps)")
+    return best
 
 
 def bench_rigid_icp():
