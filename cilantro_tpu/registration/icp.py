@@ -274,6 +274,7 @@ def simple_combined_metric_icp(src_points, dst_points, dst_normals, **kwargs):
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("levels", "metric", "max_gn_iterations"))
 def icp_multires(
     src_points,
     dst_points,
@@ -284,7 +285,11 @@ def icp_multires(
     dst_valid=None,
     init: Optional[Transform] = None,
     levels=((0.02, 10, 16384, 0.0064), (None, 3, None, 0.0004)),
-    **icp_kwargs,
+    metric: str = "combined",
+    point_weight: float = 0.0,
+    plane_weight: float = 1.0,
+    convergence_tol: float = 1e-5,
+    max_gn_iterations: int = 1,
 ) -> ICPResult:
     """Coarse-to-fine ICP: each level is ``(bin_size, max_iterations,
     capacity, max_corr_dist_sq)``; ``bin_size=None`` runs at full resolution.
@@ -301,6 +306,13 @@ def icp_multires(
 
     tf = init
     result = None
+    icp_kwargs = dict(
+        metric=metric,
+        point_weight=point_weight,
+        plane_weight=plane_weight,
+        convergence_tol=convergence_tol,
+        max_gn_iterations=max_gn_iterations,
+    )
     for bin_size, iters, capacity, mcd in levels:
         if bin_size is None:
             sp, sn, sv = src_points, src_normals, src_valid

@@ -15,3 +15,10 @@ from .driver import (  # noqa: F401
     synthetic_sequence,
 )
 from .fusion import fusion_step  # noqa: F401
+from .keyframes import (  # noqa: F401
+    Keyframe,
+    KeyframeGraph,
+    detect_loop_closures,
+    relative_pose,
+    spawn_keyframe,
+)
