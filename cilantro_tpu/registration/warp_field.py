@@ -225,6 +225,7 @@ def _huber_weights(r_norm, delta):
     static_argnames=(
         "max_gn_iterations",
         "max_cg_iterations",
+        "node_type",
     ),
 )
 def estimate_warp_field(
@@ -244,11 +245,16 @@ def estimate_warp_field(
     max_cg_iterations: int = 500,
     cg_tol: float = 1e-5,
     levenberg: float = 1e-6,
+    node_type: str = "rigid",
 ) -> Tuple[Transform, jax.Array]:
-    """Estimate per-node rigid transforms minimizing the combined metric plus
+    """Estimate per-node transforms minimizing the combined metric plus
     stiffness-weighted sqrt-Huber arc regularization (the sparse solvers at
     ``warp_field_estimation.hpp:1387-1847``; defaults follow
     ``non_rigid_icp.cpp:66-82``: stiffness 200, Huber 1e-2, CG ≤500 @1e-5).
+
+    ``node_type='rigid'`` uses small-angle increments ``[δω; δt]`` with SO(D)
+    re-projection; ``'affine'`` uses full linear increments ``[vec(δA); δt]``
+    (the locally-affine solvers, ``warp_field_estimation.hpp:717-995,1848-2236``).
 
     Returns ``(node_transforms, converged)``.
     """
@@ -289,40 +295,50 @@ def estimate_warp_field(
         else:
             r_pl0 = jnp.zeros(n, src_points.dtype)
 
-        def J_apply(delta):
-            """J·δ for all rows. δ: (M, 2D) = [δω | δt] per node."""
-            dw = delta[:, :d] if d == 3 else delta[:, :1]
-            dt = delta[:, d:] if d == 3 else delta[:, 1:]
-            dw_a = dw[graph.anchors]  # (N, K, ...)
-            dt_a = dt[graph.anchors]
+        affine = node_type == "affine"
+        n_lin = d * d if affine else (d if d == 3 else 1)
+
+        def _lin_apply(dl, pts):
+            """Apply the linear-part increment to points: rotation generators
+            for rigid, full matrices for affine. ``dl (..., n_lin)``."""
+            if affine:
+                da = dl.reshape(dl.shape[:-1] + (d, d))
+                return jnp.einsum("...ij,...j->...i", da, pts)
             if d == 3:
-                v = jnp.cross(dw_a, y) + dt_a  # (N, K, 3)
-            else:
-                # 2D: δω is scalar θ; dθ·(−y1, y0).
-                perp = jnp.stack([-y[..., 1], y[..., 0]], axis=-1)
-                v = dw_a * perp + dt_a
+                return jnp.cross(dl, pts)
+            perp = jnp.stack([-pts[..., 1], pts[..., 0]], axis=-1)
+            return dl * perp
+
+        def _lin_grad(g, pts):
+            """(∂(linear-part increment · pts)/∂params)ᵀ g."""
+            if affine:
+                return jnp.einsum("...i,...j->...ij", g, pts).reshape(
+                    g.shape[:-1] + (d * d,)
+                )
+            if d == 3:
+                return jnp.cross(pts, g)
+            perp = jnp.stack([-pts[..., 1], pts[..., 0]], axis=-1)
+            return jnp.sum(perp * g, axis=-1, keepdims=True)
+
+        def J_apply(delta):
+            """J·δ for all rows. δ: (M, n_lin + D) per node."""
+            dw = delta[:, :n_lin]
+            dt = delta[:, n_lin:]
+            dw_a = dw[graph.anchors]  # (N, K, n_lin)
+            dt_a = dt[graph.anchors]
+            v = _lin_apply(dw_a, y) + dt_a  # (N, K, D)
             v_pt = jnp.einsum("nk,nki->ni", wa, v)  # data point rows (N, D)
             if dst_normals is not None:
                 v_pl = jnp.einsum("ni,ni->n", dst_normals, v_pt)
             else:
                 v_pl = jnp.zeros(n, src_points.dtype)
             # Arc rows.
-            if d == 3:
-                va = (
-                    jnp.cross(dw[graph.arc_i], y_jl)
-                    + dt[graph.arc_i]
-                    - jnp.cross(dw[graph.arc_j], y_ll)
-                    - dt[graph.arc_j]
-                )
-            else:
-                perp_j = jnp.stack([-y_jl[..., 1], y_jl[..., 0]], axis=-1)
-                perp_l = jnp.stack([-y_ll[..., 1], y_ll[..., 0]], axis=-1)
-                va = (
-                    dw[graph.arc_i] * perp_j
-                    + dt[graph.arc_i]
-                    - dw[graph.arc_j] * perp_l
-                    - dt[graph.arc_j]
-                )
+            va = (
+                _lin_apply(dw[graph.arc_i], y_jl)
+                + dt[graph.arc_i]
+                - _lin_apply(dw[graph.arc_j], y_ll)
+                - dt[graph.arc_j]
+            )
             return v_pt, v_pl, va
 
         def Jt_apply(v_pt, v_pl, va):
@@ -333,29 +349,13 @@ def estimate_warp_field(
             if dst_normals is not None:
                 g = g + (w_pl * v_pl)[:, None] * dst_normals  # (N, D)
             gk = wa[..., None] * g[:, None, :]  # (N, K, D)
-            if d == 3:
-                gw = jnp.cross(y, gk)  # ∂(ω×y)/∂ω ᵀ g = y × g
-            else:
-                perp = jnp.stack([-y[..., 1], y[..., 0]], axis=-1)
-                gw = jnp.sum(perp * gk, axis=-1, keepdims=True)
+            gw = _lin_grad(gk, y)  # (N, K, n_lin)
             acc_w = graph.segment_over_anchors(gw)
             acc_t = graph.segment_over_anchors(gk)
             # Arc rows (weight stiffness · huber).
             ga = (stiffness * w_arc)[:, None] * va  # (A, D)
-            if d == 3:
-                gw_i = jnp.cross(y_jl, ga)
-                gw_j = -jnp.cross(y_ll, ga)
-            else:
-                gw_i = jnp.sum(
-                    jnp.stack([-y_jl[..., 1], y_jl[..., 0]], -1) * ga,
-                    axis=-1,
-                    keepdims=True,
-                )
-                gw_j = -jnp.sum(
-                    jnp.stack([-y_ll[..., 1], y_ll[..., 0]], -1) * ga,
-                    axis=-1,
-                    keepdims=True,
-                )
+            gw_i = _lin_grad(ga, y_jl)
+            gw_j = -_lin_grad(ga, y_ll)
             # arc_i = repeat(arange) is sorted by construction.
             acc_w = acc_w + jax.ops.segment_sum(
                 gw_i, graph.arc_i, num_segments=m, indices_are_sorted=True
@@ -389,9 +389,8 @@ def estimate_warp_field(
             arc_t = jax.ops.segment_sum(
                 sa, graph.arc_i, num_segments=m, indices_are_sorted=True
             ) + graph.segment_over_arc_j(sa)
-            n_w_cols = d if d == 3 else 1
             dw_diag = jnp.broadcast_to(
-                (acc_w + arc_w)[:, None], (m, n_w_cols)
+                (acc_w + arc_w)[:, None], (m, n_lin)
             )
             dt_diag = jnp.broadcast_to((acc_t + arc_t)[:, None], (m, d))
             return jnp.concatenate([dw_diag, dt_diag], axis=1) + levenberg
@@ -432,20 +431,25 @@ def estimate_warp_field(
 
         delta = cg(rhs)
 
-        # Apply per-node increments ΔT(δ) ∘ T with rotation re-projection.
-        if d == 3:
-            dw, dt = delta[:, :3], delta[:, 3:]
-            rot = axis_angle_to_rotation(dw)
+        # Apply per-node increments ΔT(δ) ∘ T (rotation re-projection keeps
+        # rigid fields rigid; affine fields compose exactly).
+        dw, dt = delta[:, :n_lin], delta[:, n_lin:]
+        if affine:
+            lin_inc = jnp.eye(d, dtype=delta.dtype) + dw.reshape(m, d, d)
+        elif d == 3:
+            lin_inc = axis_angle_to_rotation(dw)
         else:
-            theta = delta[:, 0]
+            theta = dw[:, 0]
             c, s = jnp.cos(theta), jnp.sin(theta)
-            rot = jnp.stack(
+            lin_inc = jnp.stack(
                 [jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], -2
             )
-            dt = delta[:, 1:]
-        inc = Transform(rot, dt)
+        inc = Transform(lin_inc, dt)
         new_tf = compose(inc, node_tf)
-        new_tf = Transform(project_to_rotation(new_tf.linear), new_tf.translation)
+        if not affine:
+            new_tf = Transform(
+                project_to_rotation(new_tf.linear), new_tf.translation
+            )
         max_update = jnp.max(
             jnp.where(graph.node_valid, jnp.linalg.norm(delta, axis=1), 0.0)
         )
@@ -470,7 +474,12 @@ def estimate_warp_field(
 
 @partial(
     jax.jit,
-    static_argnames=("max_iterations", "max_gn_iterations", "max_cg_iterations"),
+    static_argnames=(
+        "max_iterations",
+        "max_gn_iterations",
+        "max_cg_iterations",
+        "node_type",
+    ),
 )
 def icp_warp_field(
     graph: DeformationGraph,
@@ -489,6 +498,7 @@ def icp_warp_field(
     convergence_tol: float = 2.5e-3,
     max_gn_iterations: int = 1,
     max_cg_iterations: int = 500,
+    node_type: str = "rigid",
 ) -> Tuple[Transform, jax.Array, jax.Array]:
     """Sparse (EDG) non-rigid ICP (``CombinedMetricSparseWarpFieldICP``,
     ``icp_warp_field_combined_metric_sparse.hpp:202-240``; example defaults
@@ -534,6 +544,7 @@ def icp_warp_field(
             max_gn_iterations=max_gn_iterations,
             gn_tol=0.0,
             max_cg_iterations=max_cg_iterations,
+            node_type=node_type,
         )
         # Convergence: max per-node motion between outer iterations
         # (icp_warp_field_combined_metric_sparse.hpp convergence norm).

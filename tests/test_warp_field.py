@@ -125,3 +125,35 @@ class TestResample:
         np.testing.assert_allclose(
             np.asarray(out.translation), np.tile([1, 2, 3], (5, 1)), atol=1e-5
         )
+
+
+class TestAffineWarpField:
+    def test_affine_nodes_recover_local_scaling(self, rng):
+        # A deformation with local stretch (not representable exactly by
+        # blended rigid nodes): x-dependent scaling of y.
+        src = surface(rng, n=1000)
+        dst = src.copy()
+        dst[:, 1] *= 1.0 + 0.08 * np.clip(src[:, 0], 0, 1)
+        nodes = control_nodes(src)
+        graph = build_deformation_graph(
+            jnp.asarray(src), jnp.asarray(nodes), k_anchors=4, k_arcs=6
+        )
+        node_tf, _, _ = icp_warp_field(
+            graph,
+            jnp.asarray(src),
+            jnp.asarray(dst),
+            max_corr_dist_sq=0.04,
+            point_weight=1.0,
+            plane_weight=0.0,
+            stiffness=5.0,
+            max_iterations=12,
+            max_cg_iterations=60,
+            node_type="affine",
+        )
+        warped = np.asarray(warp_points(graph, node_tf, jnp.asarray(src)))
+        err = np.linalg.norm(warped - dst, axis=1)
+        assert np.median(err) < 0.01
+        # Affine linear parts are NOT rotations (local scaling captured).
+        lin = np.asarray(node_tf.linear)
+        dets = np.linalg.det(lin)
+        assert np.abs(dets - 1.0).max() > 1e-3
