@@ -29,8 +29,10 @@ import pytest  # noqa: E402
 REFERENCE_CLOUDS = "/root/reference/examples/test_clouds"
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: every test draws the same deterministic stream, so
+    # outcomes cannot depend on test execution order.
     return np.random.default_rng(0)
 
 
