@@ -97,6 +97,21 @@ def bench_rigid_icp():
         f"~{cpu_dt*1e3:.0f} ms -> {cpu_dt/tpu_dt:.1f}x"
     )
 
+    # NN throughput (BASELINE "NN queries/sec" row): exact 120k→120k.
+    from cilantro_tpu.neighbors import nn1
+
+    dist, _ = nn1(p1j, p2j)
+    np.asarray(dist[:1])
+    t0 = time.perf_counter()
+    for _ in range(5):
+        dist, _ = nn1(p1j, p2j)
+        np.asarray(dist[:1])
+    nn_dt = (time.perf_counter() - t0) / 5
+    log(
+        f"exact nn1 120k vs 120k: {nn_dt*1e3:.0f} ms "
+        f"({len(p1)/nn_dt/1e6:.2f} M queries/s)"
+    )
+
 
 def main():
     from cilantro_tpu.core import CameraIntrinsics
