@@ -33,11 +33,13 @@ def log(*a):
 
 
 def bench_fusion_tpu(depths, gt, k):
-    from cilantro_tpu.slam import ate_rmse, run_fusion_sequence
+    from cilantro_tpu.slam import ate_rmse, run_fusion_sequence_scanned
 
-    # Warm-up: compile localize/integrate on the first three frames.
-    run_fusion_sequence(depths[:3], k, map_capacity=2 * H * W)
-    fmap, metrics = run_fusion_sequence(depths, k, map_capacity=2 * H * W)
+    # One lax.scan program over the whole sequence (compiles on first call
+    # inside, then times a second run).
+    fmap, metrics = run_fusion_sequence_scanned(
+        depths, k, map_capacity=2 * H * W
+    )
     ate = ate_rmse(metrics.poses, gt)
     log(
         f"TPU fusion: {metrics.seconds_per_frame*1e3:.1f} ms/frame "

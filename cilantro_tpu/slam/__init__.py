@@ -22,3 +22,4 @@ from .keyframes import (  # noqa: F401
     relative_pose,
     spawn_keyframe,
 )
+from .driver import run_fusion_sequence_scanned  # noqa: F401

@@ -201,3 +201,72 @@ def synthetic_sequence(
         vel = 0.9 * vel + rng.standard_normal(3) * motion_scale * 0.5
         pos = pos + vel
     return depths, poses
+
+
+def run_fusion_sequence_scanned(
+    depths: Sequence[np.ndarray],
+    intrinsics: CameraIntrinsics,
+    *,
+    map_capacity: Optional[int] = None,
+    cfg: FusionConfig = FusionConfig(),
+) -> Tuple[FusionMap, FusionMetrics]:
+    """Whole-sequence fusion as ONE jitted ``lax.scan`` program.
+
+    The per-frame host loop of :func:`run_fusion_sequence` pays a dispatch
+    round trip per frame (expensive over a remote-tunnel chip; cheap but
+    nonzero anywhere). Here the full sequence — depth conversion, localize,
+    integrate, per-frame poses — is a single XLA computation over the stacked
+    depth stack; the host is involved exactly once.
+    """
+    from functools import partial as _partial
+
+    from .fusion import fusion_step
+
+    h, w = depths[0].shape
+    if map_capacity is None:
+        map_capacity = 4 * h * w
+
+    depth_stack = jnp.asarray(np.stack(depths[1:]))  # (F-1, H, W)
+    pts, nrm, valid = depth_to_points_normals(jnp.asarray(depths[0]), intrinsics)
+    fmap0 = init_map_from_frame(map_capacity, pts, nrm, None, valid)
+
+    @_partial(jax.jit, static_argnames=())
+    def run(fmap0, depth_stack):
+        from ..core.rgbd import _zbuffer_winner
+
+        imap0, _ = _zbuffer_winner(
+            fmap0.points, fmap0.valid, intrinsics, h, w
+        )
+        pose0 = identity(3)
+
+        def step(carry, depth):
+            fmap, pose, imap = carry
+            p, n, v = depth_to_points_normals(depth, intrinsics)
+            fmap, pose, res, imap = fusion_step(
+                fmap, p, n, None, v, pose, intrinsics,
+                cached_index_map=imap, height=h, width=w, cfg=cfg,
+            )
+            return (fmap, pose, imap), (pose.matrix(), res.iterations)
+
+        (fmap, pose, _), (mats, iters) = jax.lax.scan(
+            step, (fmap0, pose0, imap0), depth_stack
+        )
+        return fmap, mats, iters
+
+    # Warm (compile) once, then time.
+    fmap, mats, iters = run(fmap0, depth_stack)
+    n_map = int(fmap.num_points())
+    t0 = time.perf_counter()
+    fmap, mats, iters = run(fmap0, depth_stack)
+    n_map = int(fmap.num_points())
+    dt = (time.perf_counter() - t0) / max(len(depths) - 1, 1)
+
+    mats_np = np.asarray(mats)
+    poses = [np.eye(4, dtype=np.float32)] + [m for m in mats_np]
+    return fmap, FusionMetrics(
+        poses=poses,
+        frames=len(depths),
+        seconds_per_frame=dt,
+        icp_iterations=[0] + [int(i) for i in np.asarray(iters)],
+        num_map_points=n_map,
+    )

@@ -32,3 +32,19 @@ def test_ate_alignment_invariance():
         q[:3, 3] += shift
         est.append(q)
     assert ate_rmse(est, gt) < 1e-4
+
+
+def test_scanned_sequence_matches_loop():
+    from cilantro_tpu.slam import run_fusion_sequence_scanned
+
+    k = CameraIntrinsics.make(120.0, 120.0, 63.5, 47.5)
+    h, w = 96, 128
+    depths, gt = synthetic_sequence(6, h, w, k, seed=0)
+    _, m_loop = run_fusion_sequence(depths, k, map_capacity=4 * h * w)
+    _, m_scan = run_fusion_sequence_scanned(depths, k, map_capacity=4 * h * w)
+    err = ate_rmse(m_scan.poses, gt)
+    assert err < 0.01
+    # Same pipeline, same trajectory (up to float noise).
+    a = np.stack(m_loop.poses)
+    b = np.stack(m_scan.poses)
+    assert np.abs(a - b).max() < 1e-4
