@@ -37,8 +37,11 @@ def bench_fusion_tpu(depths, gt, k):
 
     # One lax.scan program over the whole sequence (compiles on first call
     # inside, then times a second run).
+    from cilantro_tpu.slam.fusion import FusionConfig
+
     fmap, metrics = run_fusion_sequence_scanned(
-        depths, k, map_capacity=2 * H * W
+        depths, k, map_capacity=2 * H * W,
+        cfg=FusionConfig(localize_stride=2),
     )
     ate = ate_rmse(metrics.poses, gt)
     log(

@@ -69,6 +69,10 @@ class FusionConfig:
     icp_max_corr_dist_sq: float = 0.01
     icp_point_weight: float = 0.0
     icp_plane_weight: float = 1.0
+    # Localize on every k-th pixel row/column (KinectFusion-style pyramid
+    # trick; 2 → 4x fewer correspondences). Integration always uses the full
+    # frame; accuracy is guarded by the ATE checks.
+    localize_stride: int = 1
 
 
 def empty_map(capacity: int) -> FusionMap:
@@ -313,11 +317,22 @@ def fusion_step(
     ``cached_index_map`` is the previous integrate's render (valid because
     pose_guess == the pose it was rendered at); the new render comes back as
     the 4th output, halving z-buffer work per frame."""
+    s = cfg.localize_stride
+    if s > 1:
+        hw = frame_points.shape[0]
+        rows = jnp.arange(0, height, s)
+        cols = jnp.arange(0, width, s)
+        sub = (rows[:, None] * width + cols[None, :]).reshape(-1)
+        loc_pts = frame_points[sub]
+        loc_nrm = frame_normals[sub]
+        loc_valid = frame_valid[sub]
+    else:
+        loc_pts, loc_nrm, loc_valid = frame_points, frame_normals, frame_valid
     pose, res = localize(
         fmap,
-        frame_points,
-        frame_normals,
-        frame_valid,
+        loc_pts,
+        loc_nrm,
+        loc_valid,
         pose_guess,
         intrinsics,
         height=height,

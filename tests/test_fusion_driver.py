@@ -48,3 +48,17 @@ def test_scanned_sequence_matches_loop():
     a = np.stack(m_loop.poses)
     b = np.stack(m_scan.poses)
     assert np.abs(a - b).max() < 1e-4
+
+
+def test_scanned_with_localize_stride():
+    from cilantro_tpu.slam import run_fusion_sequence_scanned
+    from cilantro_tpu.slam.fusion import FusionConfig
+
+    k = CameraIntrinsics.make(120.0, 120.0, 63.5, 47.5)
+    h, w = 96, 128
+    depths, gt = synthetic_sequence(6, h, w, k, seed=0)
+    _, m = run_fusion_sequence_scanned(
+        depths, k, map_capacity=4 * h * w,
+        cfg=FusionConfig(localize_stride=2),
+    )
+    assert ate_rmse(m.poses, gt) < 0.01
