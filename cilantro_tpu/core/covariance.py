@@ -108,6 +108,7 @@ def mahalanobis2(points, mean, cov) -> jax.Array:
         "num_refinements",
         "keep_fraction",
         "min_sample_size",
+        "chi_square_threshold",
     ),
 )
 def mcd_mean_cov(
@@ -119,6 +120,7 @@ def mcd_mean_cov(
     num_refinements: int = 3,
     keep_fraction: float = 0.75,
     min_sample_size: Optional[int] = None,
+    chi_square_threshold: float = -1.0,
 ):
     """Minimum Covariance Determinant over one point set.
 
@@ -127,6 +129,12 @@ def mcd_mean_cov(
     on the ``h = keep_fraction·n`` smallest-Mahalanobis points, keeping the
     fit with smallest covariance determinant. Defaults follow the reference
     (``covariance.hpp:365-367``: 6 trials / 3 refinements / keep 0.75).
+
+    If ``chi_square_threshold > 0``, the first point of the set (the query
+    point, which leads its own neighborhood) is additionally tested against
+    the robust covariance ellipse and ``valid`` is false when
+    ``(x₀−μ)ᵀ Σ⁻¹ (x₀−μ) > threshold`` — the reference's chi-square inlier
+    gate (``covariance.hpp:352-359``; disabled by default, ``:369``).
 
     Returns ``(mean, cov, valid)``. Fixed shapes: ``h`` is computed from the
     static capacity; masked-out points get +inf distance so they are never
@@ -164,5 +172,9 @@ def mcd_mean_cov(
     keys = jax.random.split(key, num_trials)
     means, covs, logdets = jax.vmap(one_trial)(keys)
     best = jnp.argmin(logdets)
+    mean, cov = means[best], covs[best]
     valid = jnp.sum(mask) >= min_sample_size
-    return means[best], covs[best], valid
+    if chi_square_threshold > 0.0:
+        m2_query = mahalanobis2(points[:1], mean, cov)[0]
+        valid &= m2_query <= chi_square_threshold
+    return mean, cov, valid

@@ -39,6 +39,75 @@ def build_projective_target(
     return points_to_index_map(dst_points, intrinsics, h, w, valid=dst_valid)
 
 
+def pack_projective_target(
+    dst_points: jax.Array,
+    dst_normals: Optional[jax.Array],
+    index_map: jax.Array,
+    dst_valid: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Resolve the index map into a packed per-pixel target image
+    ``(H·W, 8)`` = ``[point xyz | normal xyz | hit flag | 0]``.
+
+    TPU gathers are latency-bound (~1 ms per 100k rows regardless of width),
+    so the per-ICP-iteration cost collapses from 4-5 gathers (index lookup,
+    valid, point ×2, normal) to ONE row gather from this image. The pack
+    itself is 2-3 gathers paid once per localize, not per iteration — the
+    reference's "render once, look up per iteration" idea
+    (``correspondence_search_projective.hpp:161-167``) taken one step
+    further."""
+    hit = index_map.reshape(-1)
+    ok = hit >= 0
+    safe = jnp.where(ok, hit, 0)
+    if dst_valid is not None:
+        ok &= dst_valid[safe]
+    pts = dst_points[safe]
+    nrm = (
+        dst_normals[safe]
+        if dst_normals is not None
+        else jnp.zeros_like(pts)
+    )
+    flag = ok.astype(dst_points.dtype)[:, None]
+    zero = jnp.zeros_like(flag)
+    return jnp.where(
+        ok[:, None],
+        jnp.concatenate([pts, nrm, flag, zero], axis=1),
+        0.0,
+    )
+
+
+def find_projective_correspondences_packed(
+    src_points: jax.Array,
+    packed_target: jax.Array,
+    intrinsics: CameraIntrinsics,
+    h: int,
+    w: int,
+    *,
+    tf: Optional[Transform] = None,
+    src_valid: Optional[jax.Array] = None,
+    max_distance: Optional[jax.Array] = None,
+):
+    """Single-gather projective matching against a packed target image.
+
+    Returns ``(s, dst_pts, dst_nrm, weights)`` — the transformed source, the
+    matched model points/normals and 0/1 weights — ready for the GN
+    accumulators (no index indirection left)."""
+    s = src_points if tf is None else tf.apply(src_points)
+    u, v, z = project_points(s, intrinsics)
+    in_img = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    pix_idx = jnp.where(in_img, v * w + u, 0)
+    row = packed_target[pix_idx]  # the ONE gather
+    dst_pts = row[:, 0:3]
+    dst_nrm = row[:, 3:6]
+    mask = in_img & (row[:, 6] > 0.5)
+    if src_valid is not None:
+        mask &= src_valid
+    diff = dst_pts - s
+    dist = jnp.sum(diff * diff, axis=-1)
+    if max_distance is not None:
+        mask &= dist <= max_distance
+    return s, dst_pts, dst_nrm, mask.astype(src_points.dtype)
+
+
 def find_projective_correspondences(
     src_points: jax.Array,
     dst_points: jax.Array,

@@ -93,8 +93,15 @@ int ply_read(const char* path, float** out_points, float** out_normals,
   std::fseek(f, 0, SEEK_END);
   long fsize = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
-  std::vector<uint8_t> buf(static_cast<size_t>(fsize), 0);
-  if (std::fread(buf.data(), 1, size_t(fsize), f) != size_t(fsize)) {
+  if (fsize < 0) {
+    std::fclose(f);
+    return -2;
+  }
+  // +1 trailing NUL so the ASCII strtod path can never over-read a file
+  // that ends mid-number; `dsize` is the real data size for all bounds.
+  const size_t dsize = static_cast<size_t>(fsize);
+  std::vector<uint8_t> buf(dsize + 1, 0);
+  if (std::fread(buf.data(), 1, dsize, f) != dsize) {
     std::fclose(f);
     return -2;
   }
@@ -103,9 +110,9 @@ int ply_read(const char* path, float** out_points, float** out_normals,
   // ---- header ----------------------------------------------------------
   size_t pos = 0;
   auto next_line = [&](std::string& line) -> bool {
-    if (pos >= buf.size()) return false;
+    if (pos >= dsize) return false;
     size_t end = pos;
-    while (end < buf.size() && buf[end] != '\n') end++;
+    while (end < dsize && buf[end] != '\n') end++;
     line.assign(reinterpret_cast<const char*>(buf.data() + pos), end - pos);
     if (!line.empty() && line.back() == '\r') line.pop_back();
     pos = end + 1;
@@ -192,6 +199,16 @@ int ply_read(const char* path, float** out_points, float** out_normals,
   bool has_c = ir >= 0 && ig >= 0 && ib2 >= 0;
 
   int64_t n = vertex_count;
+  // Sanity-bound the claimed vertex count against the file size BEFORE
+  // allocating (a hostile 'element vertex N' header must not drive malloc):
+  // every vertex needs at least `stride` bytes (binary) / ~2 bytes per
+  // property (ASCII).
+  if (stride <= 0) return -7;
+  int64_t min_bytes_per_vertex = binary ? stride : int64_t(vx->props.size());
+  if (n < 0 || min_bytes_per_vertex <= 0 ||
+      n > int64_t(dsize) / min_bytes_per_vertex + 1)
+    return -10;
+
   float* pts = static_cast<float*>(std::malloc(sizeof(float) * 3 * n));
   float* nrm =
       has_n ? static_cast<float*>(std::malloc(sizeof(float) * 3 * n)) : nullptr;
@@ -204,13 +221,16 @@ int ply_read(const char* path, float** out_points, float** out_normals,
     std::free(col);
     return code;
   };
+  if (!pts || (has_n && !nrm) || (has_c && !col)) return fail(-12);
 
   if (binary) {
     // Vertex element must come first among binary elements we can index.
     // (True for every writer we care about; otherwise bail to error.)
     if (elems.empty() || elems.front().name != "vertex") return fail(-9);
     const uint8_t* base = buf.data() + pos;
-    if (pos + size_t(stride) * size_t(n) > buf.size()) return fail(-10);
+    // n·stride can't wrap: n ≤ dsize/stride + 1 was enforced above.
+    if (pos > dsize || size_t(stride) * size_t(n) > dsize - pos)
+      return fail(-10);
 
     // Fast path: the ubiquitous all-float32 geometry (+uchar colors) layout
     // — tight strided copies, no per-scalar dispatch.
@@ -274,9 +294,11 @@ int ply_read(const char* path, float** out_points, float** out_normals,
       }
     }
   } else {
-    // ASCII: stream doubles token by token.
+    // ASCII: stream doubles token by token (buffer is NUL-terminated at
+    // dsize, so strtod stops at the end even mid-number).
+    if (pos > dsize) return fail(-11);
     const char* s = reinterpret_cast<const char*>(buf.data() + pos);
-    const char* end = reinterpret_cast<const char*>(buf.data() + buf.size());
+    const char* end = reinterpret_cast<const char*>(buf.data() + dsize);
     size_t np = vx->props.size();
     std::vector<double> row(np);
     for (int64_t i = 0; i < n; i++) {

@@ -393,7 +393,8 @@ def icp_projective(
     """
     from ..correspondence.projective import (
         build_projective_target,
-        find_projective_correspondences,
+        find_projective_correspondences_packed,
+        pack_projective_target,
     )
 
     d = src_points.shape[1]
@@ -403,30 +404,32 @@ def icp_projective(
         index_map = build_projective_target(
             dst_points, intrinsics, height, width, dst_valid=dst_valid
         )
+    # Resolve the index map once into a packed per-pixel target → exactly one
+    # gather per ICP iteration (see pack_projective_target).
+    packed = pack_projective_target(
+        dst_points, dst_normals, index_map, dst_valid=dst_valid
+    )
     use_symmetric = metric == "combined" and src_normals is not None
 
     def body(carry):
         tf, _, it, _ = carry
-        corr = find_projective_correspondences(
+        s, dgt, ngt, w = find_projective_correspondences_packed(
             src_points,
-            dst_points,
-            index_map,
+            packed,
             intrinsics,
+            height,
+            width,
             tf=tf,
             src_valid=src_valid,
-            dst_valid=dst_valid,
             max_distance=max_corr_dist_sq,
         )
-        s = tf.apply(src_points)
-        dgt = dst_points[corr.dst_idx]
-        w = corr.weights
         if use_symmetric and dst_normals is not None:
             ns = tf.apply_normals(src_normals)
             delta, _ = estimate_rigid_symmetric_metric(
                 s,
                 dgt,
                 ns,
-                dst_normals[corr.dst_idx],
+                ngt,
                 point_weights=w * point_weight,
                 plane_weights=w * plane_weight,
                 max_iterations=max_gn_iterations,
@@ -435,7 +438,7 @@ def icp_projective(
             delta, _ = estimate_rigid_combined_metric(
                 s,
                 dgt,
-                dst_normals[corr.dst_idx],
+                ngt,
                 point_weights=w * point_weight,
                 plane_weights=w * plane_weight,
                 max_iterations=max_gn_iterations,
@@ -443,7 +446,12 @@ def icp_projective(
         else:
             delta, _ = estimate_rigid_point_to_point(s, dgt, w)
         new_tf = reproject_rigid(compose(delta, tf))
-        return new_tf, _delta_norm(delta), it + 1, corr.count().astype(jnp.int32)
+        return (
+            new_tf,
+            _delta_norm(delta),
+            it + 1,
+            jnp.sum(w).astype(jnp.int32),
+        )
 
     def cond(carry):
         _, dn, it, _ = carry

@@ -1,10 +1,12 @@
 from .fusion import (  # noqa: F401
     FusionConfig,
     FusionMap,
+    cleanup_map,
     empty_map,
     init_map_from_frame,
     integrate_frame,
     localize,
+    radial_weights,
 )
 from .pose_graph import optimize_pose_graph, pose_error  # noqa: F401
 from .bundle_adjustment import bundle_adjust, bundle_adjust_sharded  # noqa: F401

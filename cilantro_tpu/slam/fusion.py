@@ -7,15 +7,19 @@ SURVEY §3.3):
   the model rendered in the predicted camera frame (``fusion.cpp:131-141``;
   6 outer iterations, 1 GN iteration, conv 5e-4).
 * **Map**: per-pixel classification against z-buffered index maps
-  (``fusion.cpp:148-238``):
-  - *fuse* — confidence-weighted average of point/normal/color
-    (``fusion.cpp:194-203``);
-  - *augment* — new points for pixels the model does not explain
-    (``fusion.cpp:212-217``);
-  - *carve* — remove model points that float in observed free space
+  (``fusion.cpp:148-238``), an if/elif priority chain over interior pixels:
+  - *fuse* — model hit, depth within 0.01 and normal angle < 75°:
+    radial-confidence-weighted average of point/normal/color with
+    ``w = radial / (radial + confidence)`` and ``confidence += w``
+    (``fusion.cpp:185-203``);
+  - *augment* — (pixel and its 4 neighbors model-empty) OR normals disagree
+    by > 105°: new point with confidence = radial weight
+    (``fusion.cpp:204-217``);
+  - *carve* — frame surface > 0.025 behind the model point AND the model
+    point is seen head-on (view angle < 45°): remove it
     (``fusion.cpp:218-226``).
-  Thresholds follow ``fusion.cpp:98-101``: fuse depth 0.01, occlusion 0.025,
-  fuse normal angle 45°.
+  The radial weight is ``exp(-0.5 ((u-cx)² + (v-cy)²) / 120²)``
+  (``fusion.cpp:98-101,187-188``).
 
 The model is a fixed-capacity masked pool (:class:`FusionMap`); "append"
 writes into free slots assigned by a prefix-sum (no dynamic shapes), "remove"
@@ -59,11 +63,15 @@ class FusionMap:
 
 @dataclasses.dataclass(frozen=True)
 class FusionConfig:
-    """Reference thresholds (``fusion.cpp:98-101,139-140``)."""
+    """Reference thresholds (``fusion.cpp:98-101,139-140,188-226``)."""
 
     fuse_depth: float = 0.01
     occlusion_depth: float = 0.025
-    fuse_normal_cos: float = 0.7071  # 45°
+    fuse_normal_cos: float = 0.25881904  # cos 75° (fusion.cpp:190-193)
+    augment_normal_cos: float = -0.25881904  # cos 105° (fusion.cpp:208-211)
+    carve_view_cos: float = 0.70710678  # cos 45° (fusion.cpp:219-224)
+    radial_sigma_px: float = 120.0  # fusion.cpp:99 radial_factor
+    confidence_thresh: float = 3.0  # fusion.cpp:100 (cleanup_map)
     icp_iterations: int = 6
     icp_convergence_tol: float = 5e-4
     icp_max_corr_dist_sq: float = 0.01
@@ -73,6 +81,32 @@ class FusionConfig:
     # trick; 2 → 4x fewer correspondences). Integration always uses the full
     # frame; accuracy is guarded by the ATE checks.
     localize_stride: int = 1
+
+
+def radial_weights(
+    height: int,
+    width: int,
+    intrinsics: CameraIntrinsics,
+    sigma_px: float = 120.0,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Per-pixel radial confidence ``exp(-0.5 r² / σ²)`` with ``r`` the pixel
+    distance from the principal point (``fusion.cpp:99,187-188``)."""
+    u = (jnp.arange(width, dtype=dtype) - intrinsics.cx)[None, :]
+    v = (jnp.arange(height, dtype=dtype) - intrinsics.cy)[:, None]
+    r2 = u * u + v * v
+    return jnp.exp(-0.5 * r2 / (sigma_px * sigma_px)).reshape(-1)
+
+
+def cleanup_map(fmap: FusionMap, confidence_thresh: float = 3.0) -> FusionMap:
+    """Drop low-confidence points (the reference's 's'-key cleanup callback,
+    ``fusion.cpp:32-40,104-105``)."""
+    valid = fmap.valid & (fmap.confidence >= confidence_thresh)
+    return dataclasses.replace(
+        fmap,
+        points=jnp.where(valid[:, None], fmap.points, 1e30),
+        valid=valid,
+    )
 
 
 def empty_map(capacity: int) -> FusionMap:
@@ -92,8 +126,13 @@ def init_map_from_frame(
     frame_colors: Optional[jax.Array],
     frame_valid: jax.Array,
     pose: Optional[Transform] = None,
+    confidence: Optional[jax.Array] = None,
 ) -> FusionMap:
-    """Seed the model with the first frame (world frame = first camera)."""
+    """Seed the model with the first frame (world frame = first camera).
+
+    ``confidence`` defaults to 1; pass :func:`radial_weights` to mirror the
+    reference, whose first frame enters through the augment path with
+    confidence = radial weight (``fusion.cpp:212-217``)."""
     m = empty_map(capacity)
     n = frame_points.shape[0]
     assert n <= capacity
@@ -104,11 +143,14 @@ def init_map_from_frame(
         if frame_colors is not None
         else jnp.zeros((n, 3), jnp.float32)
     )
+    conf = frame_valid.astype(jnp.float32)
+    if confidence is not None:
+        conf = conf * confidence
     return FusionMap(
         points=m.points.at[:n].set(jnp.where(frame_valid[:, None], pts, 1e30)),
         normals=m.normals.at[:n].set(nrm),
         colors=m.colors.at[:n].set(cols),
-        confidence=m.confidence.at[:n].set(frame_valid.astype(jnp.float32)),
+        confidence=m.confidence.at[:n].set(conf),
         valid=m.valid.at[:n].set(frame_valid),
     )
 
@@ -189,32 +231,67 @@ def integrate_frame_with_imap(
     imap_flat = imap.reshape(-1)  # (H·W,) model index or -1
     mdepth_flat = mdepth.reshape(-1)
 
-    # The frame is organized: pixel p ↔ frame point p.
+    # The frame is organized: pixel p ↔ frame point p (the reference z-buffers
+    # the frame too, fusion.cpp:158, which is near-identity for organized
+    # input; the identity shortcut is the static-shape redesign).
     fd = frame_points[:, 2]
     f_ok = frame_valid & (fd > 0)
     m_ok = imap_flat >= 0
     m_idx = jnp.where(m_ok, imap_flat, 0)
 
-    frame_nrm_ok = jnp.sum(frame_normals * frame_normals, axis=-1) > 0.5
-    normal_agree = (
-        jnp.sum(frame_normals * model_nrm_cam[m_idx], axis=-1)
-        >= cfg.fuse_normal_cos
+    # Interior pixels only (fusion.cpp:172-173 loops y,x in 1..h-2/1..w-2).
+    pix = jnp.arange(height * width, dtype=jnp.int32)
+    pix_u = pix % width
+    pix_v = pix // width
+    f_ok &= (
+        (pix_u >= 1) & (pix_u <= width - 2)
+        & (pix_v >= 1) & (pix_v <= height - 2)
     )
 
-    both = f_ok & m_ok
+    radial = radial_weights(height, width, intrinsics, cfg.radial_sigma_px)
+
+    ncos = jnp.sum(frame_normals * model_nrm_cam[m_idx], axis=-1)
     depth_diff = fd - mdepth_flat
-    do_fuse = both & (jnp.abs(depth_diff) <= cfg.fuse_depth) & (
-        normal_agree | ~frame_nrm_ok
+
+    # fuse: model hit, depth agrees, normals within 75° (fusion.cpp:190-193).
+    do_fuse = (
+        f_ok & m_ok
+        & (jnp.abs(depth_diff) < cfg.fuse_depth)
+        & (ncos > cfg.fuse_normal_cos)
     )
-    # Frame surface far BEHIND the model point → the model point floats in
-    # observed free space → carve (fusion.cpp:218-226).
-    do_carve = both & (depth_diff > cfg.occlusion_depth)
-    # Frame surface in front of the model, or unexplained pixel → augment.
-    do_augment = f_ok & (
-        (~m_ok) | (both & (depth_diff < -cfg.occlusion_depth))
+    # augment: pixel + its 4 neighbors model-empty, OR normals disagree
+    # by > 105° (fusion.cpp:204-211).
+    m_img = m_ok.reshape(height, width)
+    nb_occ = (
+        jnp.roll(m_img, 1, axis=0) | jnp.roll(m_img, -1, axis=0)
+        | jnp.roll(m_img, 1, axis=1) | jnp.roll(m_img, -1, axis=1)
+    ).reshape(-1)
+    do_augment = (
+        ~do_fuse & f_ok
+        & (
+            (~m_ok & ~nb_occ)
+            | (m_ok & (ncos < cfg.augment_normal_cos))
+        )
+    )
+    # carve: frame surface well behind a model point that is seen head-on
+    # (view angle < 45°) → it floats in observed free space
+    # (fusion.cpp:218-226).
+    view_cos = -jnp.sum(
+        model_cam[m_idx]
+        / jnp.maximum(
+            jnp.linalg.norm(model_cam[m_idx], axis=-1, keepdims=True), 1e-30
+        )
+        * model_nrm_cam[m_idx],
+        axis=-1,
+    )
+    do_carve = (
+        ~do_fuse & ~do_augment & f_ok & m_ok
+        & (depth_diff > cfg.occlusion_depth)
+        & (view_cos > cfg.carve_view_cos)
     )
 
     # --- fuse: each model point is the winner of ≤ 1 pixel → no conflicts.
+    # Radial-confidence blend w = radial/(radial + conf) (fusion.cpp:194-203).
     pts_w = pose.apply(frame_points)
     nrm_w = pose.apply_normals(frame_normals)
     cols = (
@@ -223,15 +300,17 @@ def integrate_frame_with_imap(
         else jnp.zeros_like(frame_points)
     )
     c_old = fmap.confidence[m_idx]
-    wsum = c_old + 1.0
-    fused_pts = (fmap.points[m_idx] * c_old[:, None] + pts_w) / wsum[:, None]
-    fused_nrm = fmap.normals[m_idx] * c_old[:, None] + jnp.where(
-        frame_nrm_ok[:, None], nrm_w, 0.0
+    w_f = radial / jnp.maximum(radial + c_old, 1e-30)
+    fused_pts = fmap.points[m_idx] * (1.0 - w_f[:, None]) + pts_w * w_f[:, None]
+    fused_nrm = (
+        fmap.normals[m_idx] * (1.0 - w_f[:, None]) + nrm_w * w_f[:, None]
     )
     fused_nrm = fused_nrm / jnp.maximum(
         jnp.linalg.norm(fused_nrm, axis=-1, keepdims=True), 1e-30
     )
-    fused_cols = (fmap.colors[m_idx] * c_old[:, None] + cols) / wsum[:, None]
+    fused_cols = (
+        fmap.colors[m_idx] * (1.0 - w_f[:, None]) + cols * w_f[:, None]
+    )
 
     # Scatter targets are unique (each model point wins ≤ 1 pixel); masked
     # lanes get DISTINCT out-of-bounds indices so mode="drop" discards them
@@ -243,7 +322,7 @@ def integrate_frame_with_imap(
     points = fmap.points.at[tgt].set(fused_pts, **uq)
     normals = fmap.normals.at[tgt].set(fused_nrm, **uq)
     colors = fmap.colors.at[tgt].set(fused_cols, **uq)
-    confidence = fmap.confidence.at[tgt].add(1.0, **uq)
+    confidence = fmap.confidence.at[tgt].add(w_f, **uq)
     valid = fmap.valid
 
     # --- carve -----------------------------------------------------------
@@ -269,7 +348,8 @@ def integrate_frame_with_imap(
     points = points.at[aug_tgt].set(pts_w, **uq)
     normals = normals.at[aug_tgt].set(nrm_w, **uq)
     colors = colors.at[aug_tgt].set(cols, **uq)
-    confidence = confidence.at[aug_tgt].set(1.0, **uq)
+    # New-point confidence = its radial weight (fusion.cpp:215).
+    confidence = confidence.at[aug_tgt].set(radial, **uq)
     valid = valid.at[aug_tgt].set(True, **uq)
 
     points = jnp.where(valid[:, None], points, 1e30)

@@ -84,8 +84,10 @@ class TestFusion:
         )
         n1 = int(fmap2.num_points())
         assert n1 <= n0 * 1.05  # no runaway growth
+        # Fused confidence grows by w = radial/(radial + conf) per observation
+        # (fusion.cpp:194-203): starting at 1.0, most points must now exceed it.
         conf = np.asarray(fmap2.confidence)
-        assert (conf >= 2.0).sum() > 0.8 * n0  # most points fused twice
+        assert (conf > 1.2).sum() > 0.8 * n0
 
     def test_integrate_augments_new_geometry(self):
         d1 = wavy_depth()
@@ -126,3 +128,66 @@ class TestFusion:
         )
         still_there = np.asarray(fmap2.valid)[-50:]
         assert still_there.sum() < 10  # floaters carved
+
+    def test_carve_refuses_grazing_angle(self):
+        """A floater seen edge-on (view angle > 45°) must NOT be carved
+        (fusion.cpp:219-224)."""
+        pts, nrm, valid = frame_from_depth(wavy_depth())
+        fmap = init_map_from_frame(H * W * 2, pts, nrm, None, valid)
+        junk = np.zeros((50, 3), np.float32)
+        junk[:, 0] = np.linspace(-0.14, 0.14, 50)
+        junk[:, 2] = 0.5
+        # Normals perpendicular to the view ray → grazing incidence.
+        grazing = np.tile([0.0, 1.0, 0.0], (50, 1)).astype(np.float32)
+        fmap = fmap.__class__(
+            points=fmap.points.at[-50:].set(jnp.asarray(junk)),
+            normals=fmap.normals.at[-50:].set(jnp.asarray(grazing)),
+            colors=fmap.colors,
+            confidence=fmap.confidence.at[-50:].set(1.0),
+            valid=fmap.valid.at[-50:].set(True),
+        )
+        fmap2 = integrate_frame(
+            fmap, pts, nrm, None, valid,
+            Transform(jnp.eye(3), jnp.zeros(3)), K, height=H, width=W,
+        )
+        still_there = np.asarray(fmap2.valid)[-50:]
+        assert still_there.sum() == 50  # view-angle gate refuses the carve
+
+    def test_fuse_refuses_normal_disagreement(self):
+        """Depth-compatible but normal-flipped observations must not fuse
+        (75° gate, fusion.cpp:190-193)."""
+        pts, nrm, valid = frame_from_depth(wavy_depth())
+        fmap = init_map_from_frame(H * W * 2, pts, nrm, None, valid)
+        conf0 = np.asarray(fmap.confidence).copy()
+        flipped = -nrm
+        fmap2 = integrate_frame(
+            fmap, pts, flipped, None, valid,
+            Transform(jnp.eye(3), jnp.zeros(3)), K, height=H, width=W,
+        )
+        conf1 = np.asarray(fmap2.confidence)
+        was_valid = np.asarray(fmap.valid)
+        n_valid = int(was_valid.sum())
+        # No fuse events on previously-valid slots (confidence unchanged
+        # there; >105° disagreement legitimately augments into FREE slots).
+        grew = ((conf1 > conf0 + 1e-6) & was_valid).sum()
+        assert grew < 0.02 * n_valid
+
+    def test_augment_requires_empty_neighborhood(self):
+        """A single-pixel model hole surrounded by occupied pixels must not
+        spawn a new point (fusion.cpp:204-207)."""
+        pts, nrm, valid = frame_from_depth(wavy_depth())
+        # Model = frame minus one interior point → its pixel is empty but all
+        # 4 neighbors are occupied.
+        hole = (H // 2) * W + W // 2
+        v_hole = np.asarray(valid).copy()
+        v_hole[hole] = False
+        fmap = init_map_from_frame(
+            H * W * 2, pts, nrm, None, jnp.asarray(v_hole)
+        )
+        n0 = int(fmap.num_points())
+        fmap2 = integrate_frame(
+            fmap, pts, nrm, None, valid,
+            Transform(jnp.eye(3), jnp.zeros(3)), K, height=H, width=W,
+        )
+        n1 = int(fmap2.num_points())
+        assert n1 == n0  # hole not re-augmented (neighbors occupied)

@@ -164,3 +164,26 @@ class TestPointCloudConvenience:
         with_n.to_ply(p)
         back = PointCloud.from_ply(p)
         assert int(back.num_valid()) == int(with_n.num_valid())
+
+
+def test_mcd_chi_square_gate(rng):
+    """Chi-square inlier gate (covariance.hpp:352-359): a query point far
+    outside the robust ellipse flips valid to False; an inlier query passes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cloud = rng.standard_normal((100, 3)).astype(np.float32) * 0.1
+    # Inlier query leads the set.
+    pts_in = np.concatenate([cloud[:1], cloud[1:]], 0)
+    _, _, valid_in = mcd_mean_cov(
+        jax.random.PRNGKey(0), jnp.asarray(pts_in), chi_square_threshold=7.81
+    )
+    assert bool(valid_in)
+    # Outlier query leads the set.
+    pts_out = pts_in.copy()
+    pts_out[0] = [5.0, 5.0, 5.0]
+    _, _, valid_out = mcd_mean_cov(
+        jax.random.PRNGKey(0), jnp.asarray(pts_out), chi_square_threshold=7.81
+    )
+    assert not bool(valid_out)

@@ -56,3 +56,47 @@ def test_native_ascii(tmp_path, rng):
     r_pts, r_nrm, r_col = ply_read_native(p)
     np.testing.assert_allclose(r_pts, pts, rtol=1e-5)
     assert r_nrm is None and r_col is None
+
+
+@needs_native
+def test_native_rejects_hostile_vertex_count(tmp_path):
+    """A header claiming far more vertices than the file holds must error,
+    not crash (bounds-check before malloc)."""
+    p = str(tmp_path / "hostile.ply")
+    with open(p, "w") as f:
+        f.write(
+            "ply\nformat binary_little_endian 1.0\n"
+            "element vertex 99999999999\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "end_header\n"
+        )
+    with pytest.raises(ValueError):
+        ply_read_native(p)
+
+
+@needs_native
+def test_native_ascii_truncated_mid_number(tmp_path):
+    """ASCII file ending mid-number must error cleanly (NUL-terminated
+    buffer, no heap over-read)."""
+    p = str(tmp_path / "trunc.ply")
+    with open(p, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\nelement vertex 3\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "end_header\n1.0 2.0 3.0\n4.0 5."
+        )
+    with pytest.raises(ValueError):
+        ply_read_native(p)
+
+
+@needs_native
+def test_native_binary_truncated(tmp_path, rng):
+    """Binary payload shorter than stride*n must error."""
+    pts = rng.standard_normal((50, 3)).astype(np.float32)
+    p = str(tmp_path / "cut.ply")
+    assert ply_write_native(p, pts, binary=True)
+    data = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(data[:-20])
+    with pytest.raises(ValueError):
+        ply_read_native(p)
