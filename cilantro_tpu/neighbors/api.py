@@ -11,8 +11,10 @@ three functions returning fixed-shape ``Neighborhoods``:
 * :func:`knn_in_radius_search` — k nearest, masked by radius.
 
 All return squared L2 distances (or L1 distances with ``metric='l1'``).
-Backend selection (tiled brute force vs. grid-bucketed) is automatic; both are
-exact.
+Backend selection is automatic for radius-bounded queries: tiled brute force
+for small problems, the Morton-sorted grid-bucketed backend
+(:mod:`.gridhash`) for large ones; both are exact, and fixed-capacity
+truncation is reported per query via ``Neighborhoods.overflowed``.
 """
 
 from __future__ import annotations
@@ -35,11 +37,16 @@ class Neighborhoods:
     ``indices (Q, k) int32`` are always safe to gather with (invalid slots hold
     0); ``mask (Q, k)`` marks real neighbors; ``distances (Q, k)`` holds the
     metric value (squared L2 by default), ``INVALID_DIST`` in masked slots.
+    ``overflowed (Q,)``, when present, flags queries whose true result set was
+    truncated by the fixed ``max_results`` capacity (the reference's dynamic
+    ``NeighborhoodSet`` grows instead; a fixed-shape API must say when it
+    clipped).
     """
 
     indices: jax.Array
     distances: jax.Array
     mask: jax.Array
+    overflowed: Optional[jax.Array] = None
 
     @property
     def k(self) -> int:
@@ -49,10 +56,13 @@ class Neighborhoods:
         return jnp.sum(self.mask, axis=-1)
 
 
-def _finish(dist, idx) -> Neighborhoods:
+def _finish(dist, idx, overflowed=None) -> Neighborhoods:
     mask = dist < INVALID_DIST
     return Neighborhoods(
-        indices=jnp.where(mask, idx, 0), distances=dist, mask=mask
+        indices=jnp.where(mask, idx, 0),
+        distances=dist,
+        mask=mask,
+        overflowed=overflowed,
     )
 
 
@@ -94,11 +104,42 @@ def radius_search(
     """All neighbors within ``radius``, capped at ``max_results`` (closest
     kept — the reference returns distance-sorted radius results, so a cap
     keeps the same prefix). ``radius`` is compared against squared distance
-    for L2, matching the reference's squared-radius convention."""
+    for L2, matching the reference's squared-radius convention.
+
+    The result's ``overflowed`` flags queries whose within-radius set was
+    truncated by ``max_results`` (or, on the grid backend, whose tile budget
+    clipped candidates); without a flag the result is exact.
+
+    ``backend``: ``'auto'`` (grid for large L2 2D/3D problems, else brute),
+    ``'grid'`` (:func:`..gridhash.radius_search_grid`), or ``'brute'``.
+    """
+    d = queries.shape[1]
+    use_grid = backend == "grid" or (
+        backend == "auto"
+        and metric == "l2"
+        and d in (2, 3)
+        and queries.shape[0] * keys.shape[0] >= 1 << 26
+    )
+    if use_grid:
+        from .gridhash import radius_search_grid
+
+        dist, idx, over = radius_search_grid(
+            queries,
+            keys,
+            radius,
+            max_results,
+            query_valid=query_valid,
+            key_valid=key_valid,
+            exclude_self=exclude_self,
+        )
+        return _finish(dist, idx, over)
+
+    # Brute: search one extra neighbor so max_results-truncation is exactly
+    # detectable (the (cap+1)-th hit inside the radius ⇒ overflow).
     nb = knn_search(
         queries,
         keys,
-        max_results,
+        max_results + 1,
         query_valid=query_valid,
         key_valid=key_valid,
         metric=metric,
@@ -106,11 +147,20 @@ def radius_search(
         backend=backend,
     )
     r = radius * radius if metric in ("l2", "so2") else radius
-    mask = nb.mask & (nb.distances <= r)
+    full_mask = nb.mask & (nb.distances <= r)
+    over = (
+        full_mask[:, max_results]
+        if nb.distances.shape[1] > max_results
+        else jnp.zeros(queries.shape[0], bool)
+    )
+    mask = full_mask[:, :max_results]
     return Neighborhoods(
-        indices=jnp.where(mask, nb.indices, 0),
-        distances=jnp.where(mask, nb.distances, INVALID_DIST),
+        indices=jnp.where(mask, nb.indices[:, :max_results], 0),
+        distances=jnp.where(
+            mask, nb.distances[:, :max_results], INVALID_DIST
+        ),
         mask=mask,
+        overflowed=over,
     )
 
 

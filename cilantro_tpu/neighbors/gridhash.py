@@ -1,0 +1,223 @@
+"""Grid-bucketed (sorted-tile pruned) radius-bounded NN search.
+
+TPU-native answer to nanoflann's radius-bounded queries at large N
+(``include/cilantro/core/kd_tree.hpp:146-388``, radius adaptor ``:112-142``).
+A kd-tree prunes by walking boxes; a TPU can't chase pointers, but it can
+exploit the same spatial locality in MXU-shaped blocks:
+
+1. both clouds are sorted by the **Morton code** of their ``radius``-sized
+   voxel cell, so consecutive points are spatial neighbors;
+2. the sorted arrays are cut into fixed tiles; each tile's AABB is exact;
+3. tile pairs whose AABB distance exceeds the radius are pruned — each query
+   tile keeps only its ``max_key_tiles`` nearest key tiles;
+4. the surviving candidates form one dense ``(tile, K·tile)`` distance block
+   per query tile — a single MXU matmul + masked top-k, no per-row gathers.
+
+Work drops from O(Q·M) to O(Q·K·T): on RGBD-density clouds the prune keeps
+~5-10% of tile pairs. Results are **exact** whenever the per-query-tile
+kept-tile budget suffices; a per-query ``overflowed`` flag reports honestly
+when it did not (or when ``max_results`` truncated a dense ball) — the
+radius-search overflow indicator the fixed-capacity API needs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .bruteforce import INVALID_DIST, _pad_rows
+
+
+def _part1by2(x: jax.Array) -> jax.Array:
+    """Spread the low 10 bits of ``x`` so bit i lands at position 3i."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _part1by1(x: jax.Array) -> jax.Array:
+    """Spread the low 16 bits of ``x`` so bit i lands at position 2i."""
+    x = x & 0xFFFF
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def morton_code(points: jax.Array, origin: jax.Array, cell: float) -> jax.Array:
+    """Morton (z-order) code of each point's voxel cell — 3D: 10 bits/axis
+    (30-bit codes), 2D: 16 bits/axis. Coordinates beyond the addressable
+    range clamp to the boundary cell; that only weakens the sort locality
+    (never correctness — tile AABBs are computed from the actual points)."""
+    d = points.shape[-1]
+    ij = jnp.floor((points - origin) / cell).astype(jnp.int32)
+    if d == 3:
+        ij = jnp.clip(ij, 0, 1023)
+        return (
+            _part1by2(ij[..., 0])
+            | (_part1by2(ij[..., 1]) << 1)
+            | (_part1by2(ij[..., 2]) << 2)
+        )
+    if d == 2:
+        ij = jnp.clip(ij, 0, 65535)
+        return _part1by1(ij[..., 0]) | (_part1by1(ij[..., 1]) << 1)
+    raise ValueError(f"morton_code supports 2D/3D, got D={d}")
+
+
+def _sort_tiles(points, valid, origin, cell, tile):
+    """Morton-sort a masked cloud and cut it into ``tile``-sized blocks.
+
+    Returns (perm, blocks (nt, T, D), orig_idx (nt, T), valid (nt, T),
+    aabb_min (nt, D), aabb_max (nt, D)). Invalid points sort to the end and
+    never contribute to AABBs.
+    """
+    n, d = points.shape
+    code = morton_code(points, origin, cell)
+    code = jnp.where(valid, code, jnp.int32(0x7FFFFFFF))
+    perm = jnp.argsort(code).astype(jnp.int32)
+    pts_s = points[perm]
+    valid_s = valid[perm]
+
+    pts_p = _pad_rows(pts_s, tile, 0.0)
+    val_p = _pad_rows(valid_s, tile, False)
+    idx_p = _pad_rows(perm, tile, 0)
+    nt = pts_p.shape[0] // tile
+    blocks = pts_p.reshape(nt, tile, d)
+    vblocks = val_p.reshape(nt, tile)
+    iblocks = idx_p.reshape(nt, tile)
+    big = jnp.float32(3e38)
+    aabb_min = jnp.min(
+        jnp.where(vblocks[..., None], blocks, big), axis=1
+    )
+    aabb_max = jnp.max(
+        jnp.where(vblocks[..., None], blocks, -big), axis=1
+    )
+    return perm, blocks, iblocks, vblocks, aabb_min, aabb_max
+
+
+def _aabb_dist2(qmin, qmax, kmin, kmax):
+    """Pairwise squared distance between AABB sets (nq, D) × (nk, D)."""
+    gap = jnp.maximum(
+        0.0,
+        jnp.maximum(
+            qmin[:, None, :] - kmax[None, :, :],
+            kmin[None, :, :] - qmax[:, None, :],
+        ),
+    )
+    return jnp.sum(gap * gap, axis=-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_results", "tile", "max_key_tiles", "exclude_self"),
+)
+def radius_search_grid(
+    queries: jax.Array,
+    keys: jax.Array,
+    radius: float,
+    max_results: int,
+    *,
+    query_valid: Optional[jax.Array] = None,
+    key_valid: Optional[jax.Array] = None,
+    tile: int = 256,
+    max_key_tiles: int = 16,
+    exclude_self: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Radius-bounded NN (closest ``max_results`` kept, squared-L2 sorted).
+
+    Returns ``(dist (Q, max_results), idx (Q, max_results),
+    overflowed (Q,))``. ``overflowed[i]`` is True when the fixed capacities
+    truncated query i's true result set — either more than ``max_results``
+    keys lay within the radius, or the query tile intersected more than
+    ``max_key_tiles`` key tiles (so candidates were never seen). Without
+    overflow the result is exact (matches brute force up to ties).
+    """
+    qn, d = queries.shape
+    mn = keys.shape[0]
+    qv = jnp.ones(qn, bool) if query_valid is None else query_valid
+    kv = jnp.ones(mn, bool) if key_valid is None else key_valid
+    r2 = jnp.float32(radius * radius)
+    cell = radius
+
+    big = jnp.float32(3e38)
+    origin = jnp.minimum(
+        jnp.min(jnp.where(qv[:, None], queries, big), axis=0),
+        jnp.min(jnp.where(kv[:, None], keys, big), axis=0),
+    )
+
+    qperm, qblocks, _, qvb, qmin, qmax = _sort_tiles(
+        queries, qv, origin, cell, tile
+    )
+    _, kblocks, kib, kvb, kmin, kmax = _sort_tiles(
+        keys, kv, origin, cell, tile
+    )
+    n_qt = qblocks.shape[0]
+    n_kt = kblocks.shape[0]
+    K = min(max_key_tiles, n_kt)
+
+    # Tile-pair pruning on exact AABBs.
+    tdist = _aabb_dist2(qmin, qmax, kmin, kmax)  # (n_qt, n_kt)
+    k_tile_occupied = jnp.any(kvb, axis=1)
+    tdist = jnp.where(k_tile_occupied[None, :], tdist, big)
+    within = tdist <= r2
+    n_within_tiles = jnp.sum(within, axis=1)  # (n_qt,)
+    tile_overflow = n_within_tiles > K
+    neg_d, sel = jax.lax.top_k(-tdist, K)  # nearest K key tiles
+    sel_ok = (-neg_d) <= r2  # (n_qt, K)
+
+    cap = min(max_results, mn)
+
+    # Original query index per sorted-query row (for exclude_self).
+    qidx_p = _pad_rows(qperm, tile, 0).reshape(n_qt, tile)
+
+    def per_query_tile(args):
+        q_tile, q_ok, q_orig, ksel, ksel_ok = args
+        cand = kblocks[ksel].reshape(K * tile, d)  # block gather
+        cand_idx = kib[ksel].reshape(K * tile)
+        cand_ok = (kvb[ksel] & ksel_ok[:, None]).reshape(K * tile)
+        qq = jnp.sum(q_tile * q_tile, axis=-1, keepdims=True)
+        cc = jnp.sum(cand * cand, axis=-1)[None, :]
+        cross = jnp.dot(
+            q_tile,
+            cand.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        dist = jnp.maximum(qq + cc - 2.0 * cross, 0.0)  # (tile, K·tile)
+        ok = cand_ok[None, :] & (dist <= r2)
+        if exclude_self:
+            ok &= cand_idx[None, :] != q_orig[:, None]
+        dist = jnp.where(ok, dist, INVALID_DIST)
+        n_in = jnp.sum(ok, axis=1)
+        neg, pos = jax.lax.top_k(-dist, cap)
+        idx = jnp.take_along_axis(
+            jnp.broadcast_to(cand_idx[None, :], dist.shape), pos, axis=1
+        )
+        return -neg, idx, n_in
+
+    dist_s, idx_s, n_in_s = jax.lax.map(
+        per_query_tile, (qblocks, qvb, qidx_p, sel, sel_ok)
+    )
+    dist_s = dist_s.reshape(-1, cap)[:qn]
+    idx_s = idx_s.reshape(-1, cap)[:qn]
+    n_in_s = n_in_s.reshape(-1)[:qn]
+    over_s = (
+        jnp.repeat(tile_overflow, tile, total_repeat_length=n_qt * tile)[:qn]
+        | (n_in_s > cap)
+    )
+
+    # Undo the query permutation.
+    inv = jnp.argsort(qperm).astype(jnp.int32)
+    dist = dist_s[inv]
+    idx = idx_s[inv]
+    over = over_s[inv]
+    dist = jnp.where(qv[:, None], dist, INVALID_DIST)
+    over = over & qv
+    return dist, idx, over

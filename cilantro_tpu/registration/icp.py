@@ -409,13 +409,76 @@ def icp_projective(
     packed = pack_projective_target(
         dst_points, dst_normals, index_map, dst_valid=dst_valid
     )
-    use_symmetric = metric == "combined" and src_normals is not None
+    return icp_projective_packed(
+        src_points,
+        packed,
+        intrinsics,
+        height=height,
+        width=width,
+        src_normals=src_normals,
+        src_valid=src_valid,
+        init=init,
+        target_has_normals=dst_normals is not None,
+        metric=metric,
+        point_weight=point_weight,
+        plane_weight=plane_weight,
+        max_iterations=max_iterations,
+        convergence_tol=convergence_tol,
+        max_gn_iterations=max_gn_iterations,
+        max_corr_dist_sq=max_corr_dist_sq,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "metric",
+        "height",
+        "width",
+        "target_has_normals",
+        "max_iterations",
+        "max_gn_iterations",
+    ),
+)
+def icp_projective_packed(
+    src_points: jax.Array,
+    packed_target: jax.Array,  # (H·W, 8) from pack_projective_target
+    intrinsics,
+    *,
+    height: int,
+    width: int,
+    src_normals: Optional[jax.Array] = None,
+    src_valid: Optional[jax.Array] = None,
+    init: Optional[Transform] = None,
+    target_has_normals: bool = True,
+    metric: str = "combined",
+    point_weight: float = 0.0,
+    plane_weight: float = 1.0,
+    max_iterations: int = 6,
+    convergence_tol: float = 5e-4,
+    max_gn_iterations: int = 1,
+    max_corr_dist_sq: Optional[float] = 0.01,
+) -> ICPResult:
+    """Projective ICP core over a pre-packed per-pixel target image — the
+    shared hot loop of :func:`icp_projective` and the fusion localizer (which
+    builds the packed image straight from its map pool, fusing the camera
+    transform into the one-time gather)."""
+    from ..correspondence.projective import (
+        find_projective_correspondences_packed,
+    )
+
+    d = src_points.shape[1]
+    if init is None:
+        init = identity(d, dtype=src_points.dtype)
+    use_symmetric = (
+        metric == "combined" and src_normals is not None and target_has_normals
+    )
 
     def body(carry):
         tf, _, it, _ = carry
         s, dgt, ngt, w = find_projective_correspondences_packed(
             src_points,
-            packed,
+            packed_target,
             intrinsics,
             height,
             width,
@@ -423,7 +486,7 @@ def icp_projective(
             src_valid=src_valid,
             max_distance=max_corr_dist_sq,
         )
-        if use_symmetric and dst_normals is not None:
+        if use_symmetric:
             ns = tf.apply_normals(src_normals)
             delta, _ = estimate_rigid_symmetric_metric(
                 s,
@@ -434,7 +497,7 @@ def icp_projective(
                 plane_weights=w * plane_weight,
                 max_iterations=max_gn_iterations,
             )
-        elif dst_normals is not None and metric == "combined":
+        elif target_has_normals and metric == "combined":
             delta, _ = estimate_rigid_combined_metric(
                 s,
                 dgt,

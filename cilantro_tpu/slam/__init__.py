@@ -25,3 +25,8 @@ from .keyframes import (  # noqa: F401
     spawn_keyframe,
 )
 from .driver import run_fusion_sequence_scanned  # noqa: F401
+from .checkpoint import (  # noqa: F401
+    FusionCheckpoint,
+    load_checkpoint,
+    save_checkpoint,
+)

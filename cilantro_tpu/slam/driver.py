@@ -51,9 +51,21 @@ def run_fusion_sequence(
     map_capacity: Optional[int] = None,
     cfg: FusionConfig = FusionConfig(),
     integrate_every: int = 1,
+    resume_from: Optional[str] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: Optional[int] = None,
 ) -> Tuple[FusionMap, FusionMetrics]:
     """Run frame-to-model fusion over a depth sequence (world frame = first
-    camera). Returns the final map and per-frame metrics."""
+    camera). Returns the final map and per-frame metrics.
+
+    ``resume_from`` restarts from a checkpoint written by an earlier run over
+    the same sequence; the continuation is bit-identical to the uninterrupted
+    run (the cached index map is part of the saved carry). ``checkpoint_path``
+    (+ optional ``checkpoint_every`` frames; default: once at the end) writes
+    checkpoints via :mod:`.checkpoint`.
+    """
+    from .checkpoint import load_checkpoint, save_checkpoint
+
     h, w = depths[0].shape
     if map_capacity is None:
         map_capacity = 4 * h * w
@@ -69,16 +81,32 @@ def run_fusion_sequence(
         else None
     )
 
-    pts, nrm, valid = depth_to_points_normals(staged[0], intrinsics)
-    col0 = col_staged[0] if col_staged is not None else None
-    fmap = init_map_from_frame(map_capacity, pts, nrm, col0, valid)
-    pose = identity(3)
-    poses_dev = [pose.matrix()]
-    iters_dev = [jnp.int32(0)]
+    if resume_from is not None:
+        ck = load_checkpoint(resume_from)
+        fmap = ck.fusion_map()
+        from .fusion import FusionMap as _FM  # noqa: F401
+
+        from ..core.transforms import from_matrix
+
+        pose = from_matrix(jnp.asarray(ck.poses[-1]))
+        poses_dev = [jnp.asarray(p) for p in ck.poses]
+        iters_dev = [jnp.int32(0)] * len(ck.poses)
+        imap = (
+            jnp.asarray(ck.index_map) if ck.index_map is not None else None
+        )
+        start = ck.next_frame
+    else:
+        pts, nrm, valid = depth_to_points_normals(staged[0], intrinsics)
+        col0 = col_staged[0] if col_staged is not None else None
+        fmap = init_map_from_frame(map_capacity, pts, nrm, col0, valid)
+        pose = identity(3)
+        poses_dev = [pose.matrix()]
+        iters_dev = [jnp.int32(0)]
+        imap = None
+        start = 1
 
     t0 = time.perf_counter()
-    imap = None
-    for fi in range(1, len(depths)):
+    for fi in range(start, len(depths)):
         pts, nrm, valid = depth_to_points_normals(staged[fi], intrinsics)
         colf = col_staged[fi] if col_staged is not None else None
         fmap, pose, res, imap = fusion_step(
@@ -89,9 +117,29 @@ def run_fusion_sequence(
         )
         poses_dev.append(pose.matrix())
         iters_dev.append(res.iterations)
+        if (
+            checkpoint_path is not None
+            and checkpoint_every is not None
+            and (fi - start + 1) % checkpoint_every == 0
+        ):
+            save_checkpoint(
+                checkpoint_path,
+                fmap,
+                [np.asarray(p) for p in poses_dev],
+                fi + 1,
+                index_map=imap,
+            )
     # One sync at the end bounds the whole pipeline.
     n_map = int(fmap.num_points())
-    dt = (time.perf_counter() - t0) / max(len(depths) - 1, 1)
+    dt = (time.perf_counter() - t0) / max(len(depths) - start, 1)
+    if checkpoint_path is not None and checkpoint_every is None:
+        save_checkpoint(
+            checkpoint_path,
+            fmap,
+            [np.asarray(p) for p in poses_dev],
+            len(depths),
+            index_map=imap,
+        )
 
     return fmap, FusionMetrics(
         poses=[np.asarray(p) for p in poses_dev],

@@ -39,26 +39,77 @@ import jax.numpy as jnp
 
 from ..core.rgbd import CameraIntrinsics, _zbuffer_winner
 from ..core.transforms import Transform, compose, inverse
-from ..registration.icp import ICPResult, icp_projective
+from ..registration.icp import ICPResult, icp_projective_packed
+
+
+_MAP_WIDTH = 16  # packed row: [pts 0:3 | nrm 3:6 | col 6:9 | conf 9 | valid 10]
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class FusionMap:
-    """World-frame model: fixed-capacity masked point pool + confidence."""
+    """World-frame model: fixed-capacity masked point pool + confidence.
 
-    points: jax.Array  # (C, 3)
-    normals: jax.Array  # (C, 3)
-    colors: jax.Array  # (C, 3)
-    confidence: jax.Array  # (C,)
-    valid: jax.Array  # (C,)
+    Storage is ONE packed ``(C, 16)`` array. TPU gathers/scatters are
+    latency-bound per *op*, not per byte, so the per-frame map update touches
+    the pool through a single row gather and a single combined scatter
+    instead of one op per field — the map-scale twin of
+    :func:`..correspondence.projective.pack_projective_target`. Field views
+    are exposed as properties (zero-copy slices under jit).
+    """
+
+    data: jax.Array  # (C, 16)
+
+    @property
+    def points(self) -> jax.Array:
+        return self.data[:, 0:3]
+
+    @property
+    def normals(self) -> jax.Array:
+        return self.data[:, 3:6]
+
+    @property
+    def colors(self) -> jax.Array:
+        return self.data[:, 6:9]
+
+    @property
+    def confidence(self) -> jax.Array:
+        return self.data[:, 9]
+
+    @property
+    def valid(self) -> jax.Array:
+        return self.data[:, 10] > 0.5
 
     @property
     def capacity(self) -> int:
-        return self.points.shape[0]
+        return self.data.shape[0]
 
     def num_points(self) -> jax.Array:
         return jnp.sum(self.valid)
+
+    @classmethod
+    def from_fields(
+        cls, points, normals, colors, confidence, valid
+    ) -> "FusionMap":
+        c = points.shape[0]
+        data = jnp.zeros((c, _MAP_WIDTH), jnp.float32)
+        data = data.at[:, 0:3].set(points)
+        data = data.at[:, 3:6].set(normals)
+        data = data.at[:, 6:9].set(colors)
+        data = data.at[:, 9].set(confidence)
+        data = data.at[:, 10].set(valid.astype(jnp.float32))
+        return cls(data=data)
+
+    def replace_fields(self, **kw) -> "FusionMap":
+        """Functional field update (accepts points/normals/colors/confidence/
+        valid arrays)."""
+        return FusionMap.from_fields(
+            points=kw.get("points", self.points),
+            normals=kw.get("normals", self.normals),
+            colors=kw.get("colors", self.colors),
+            confidence=kw.get("confidence", self.confidence),
+            valid=kw.get("valid", self.valid),
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -102,21 +153,16 @@ def cleanup_map(fmap: FusionMap, confidence_thresh: float = 3.0) -> FusionMap:
     """Drop low-confidence points (the reference's 's'-key cleanup callback,
     ``fusion.cpp:32-40,104-105``)."""
     valid = fmap.valid & (fmap.confidence >= confidence_thresh)
-    return dataclasses.replace(
-        fmap,
+    return fmap.replace_fields(
         points=jnp.where(valid[:, None], fmap.points, 1e30),
         valid=valid,
     )
 
 
 def empty_map(capacity: int) -> FusionMap:
-    return FusionMap(
-        points=jnp.full((capacity, 3), 1e30, jnp.float32),
-        normals=jnp.zeros((capacity, 3), jnp.float32),
-        colors=jnp.zeros((capacity, 3), jnp.float32),
-        confidence=jnp.zeros((capacity,), jnp.float32),
-        valid=jnp.zeros((capacity,), bool),
-    )
+    data = jnp.zeros((capacity, _MAP_WIDTH), jnp.float32)
+    data = data.at[:, 0:3].set(1e30)
+    return FusionMap(data=data)
 
 
 def init_map_from_frame(
@@ -146,13 +192,13 @@ def init_map_from_frame(
     conf = frame_valid.astype(jnp.float32)
     if confidence is not None:
         conf = conf * confidence
-    return FusionMap(
-        points=m.points.at[:n].set(jnp.where(frame_valid[:, None], pts, 1e30)),
-        normals=m.normals.at[:n].set(nrm),
-        colors=m.colors.at[:n].set(cols),
-        confidence=m.confidence.at[:n].set(conf),
-        valid=m.valid.at[:n].set(frame_valid),
-    )
+    rows = jnp.zeros((n, _MAP_WIDTH), jnp.float32)
+    rows = rows.at[:, 0:3].set(jnp.where(frame_valid[:, None], pts, 1e30))
+    rows = rows.at[:, 3:6].set(nrm)
+    rows = rows.at[:, 6:9].set(cols)
+    rows = rows.at[:, 9].set(conf)
+    rows = rows.at[:, 10].set(frame_valid.astype(jnp.float32))
+    return FusionMap(data=m.data.at[:n].set(rows))
 
 
 @partial(jax.jit, static_argnames=("height", "width", "cfg"))
@@ -174,22 +220,40 @@ def localize(
 
     ``index_map`` may be the render the previous integrate produced at this
     very pose (warm-started fusion: pose_guess == previous refined pose), so
-    no re-render is needed; carved points are re-gated via ``fmap.valid``.
+    no re-render is needed; carved points are re-gated via the pool's valid
+    flag.
     """
     cam_from_world = inverse(pose_guess)
-    model_cam = cam_from_world.apply(fmap.points)
-    model_nrm_cam = cam_from_world.apply_normals(fmap.normals)
-    res = icp_projective(
+    if index_map is None:
+        model_cam = cam_from_world.apply(fmap.points)
+        index_map, _ = _zbuffer_winner(
+            model_cam, fmap.valid, intrinsics, height, width
+        )
+    # Build the packed per-pixel target with ONE pool gather; the camera
+    # transform runs on the H·W gathered rows, never on the full capacity.
+    hit = index_map.reshape(-1)
+    ok = hit >= 0
+    rows = fmap.data[jnp.where(ok, hit, 0)]
+    ok &= rows[:, 10] > 0.5
+    rows = jnp.where(ok[:, None], rows, 0.0)  # keep masked lanes finite
+    pts_cam = cam_from_world.apply(rows[:, 0:3])
+    nrm_cam = cam_from_world.apply_normals(rows[:, 3:6])
+    flag = ok.astype(jnp.float32)[:, None]
+    packed = jnp.where(
+        ok[:, None],
+        jnp.concatenate(
+            [pts_cam, nrm_cam, flag, jnp.zeros_like(flag)], axis=1
+        ),
+        0.0,
+    )
+    res = icp_projective_packed(
         frame_points,
-        model_cam,
+        packed,
         intrinsics,
         height=height,
         width=width,
-        index_map=index_map,
         src_normals=frame_normals,
-        dst_normals=model_nrm_cam,
         src_valid=frame_valid,
-        dst_valid=fmap.valid,
         metric="combined",
         point_weight=cfg.icp_point_weight,
         plane_weight=cfg.icp_plane_weight,
@@ -222,7 +286,6 @@ def integrate_frame_with_imap(
     ``pose`` doubles as the next frame's localize target."""
     cam_from_world = inverse(pose)
     model_cam = cam_from_world.apply(fmap.points)
-    model_nrm_cam = cam_from_world.apply_normals(fmap.normals)
 
     # Model index map in the new camera (one winner per pixel).
     imap, mdepth = _zbuffer_winner(
@@ -239,6 +302,16 @@ def integrate_frame_with_imap(
     m_ok = imap_flat >= 0
     m_idx = jnp.where(m_ok, imap_flat, 0)
 
+    # ONE pool gather serves every per-pixel model read below; the camera
+    # transform of normals runs on the gathered H·W rows, not the capacity.
+    mrows = jnp.where(m_ok[:, None], fmap.data[m_idx], 0.0)
+    m_pts_w = mrows[:, 0:3]
+    m_nrm_w = mrows[:, 3:6]
+    m_cols = mrows[:, 6:9]
+    c_old = mrows[:, 9]
+    m_pts_cam = cam_from_world.apply(m_pts_w)
+    model_nrm_cam_px = cam_from_world.apply_normals(m_nrm_w)
+
     # Interior pixels only (fusion.cpp:172-173 loops y,x in 1..h-2/1..w-2).
     pix = jnp.arange(height * width, dtype=jnp.int32)
     pix_u = pix % width
@@ -250,7 +323,7 @@ def integrate_frame_with_imap(
 
     radial = radial_weights(height, width, intrinsics, cfg.radial_sigma_px)
 
-    ncos = jnp.sum(frame_normals * model_nrm_cam[m_idx], axis=-1)
+    ncos = jnp.sum(frame_normals * model_nrm_cam_px, axis=-1)
     depth_diff = fd - mdepth_flat
 
     # fuse: model hit, depth agrees, normals within 75° (fusion.cpp:190-193).
@@ -277,11 +350,11 @@ def integrate_frame_with_imap(
     # (view angle < 45°) → it floats in observed free space
     # (fusion.cpp:218-226).
     view_cos = -jnp.sum(
-        model_cam[m_idx]
+        m_pts_cam
         / jnp.maximum(
-            jnp.linalg.norm(model_cam[m_idx], axis=-1, keepdims=True), 1e-30
+            jnp.linalg.norm(m_pts_cam, axis=-1, keepdims=True), 1e-30
         )
-        * model_nrm_cam[m_idx],
+        * model_nrm_cam_px,
         axis=-1,
     )
     do_carve = (
@@ -290,8 +363,11 @@ def integrate_frame_with_imap(
         & (view_cos > cfg.carve_view_cos)
     )
 
-    # --- fuse: each model point is the winner of ≤ 1 pixel → no conflicts.
-    # Radial-confidence blend w = radial/(radial + conf) (fusion.cpp:194-203).
+    # --- build the per-pixel update rows ---------------------------------
+    # fuse: radial-confidence blend w = radial/(radial + conf)
+    # (fusion.cpp:194-203); augment: fresh row with confidence = radial
+    # (fusion.cpp:215); carve: dead row (points parked at 1e30 so renders
+    # skip it). One row select → ONE combined scatter below.
     pts_w = pose.apply(frame_points)
     nrm_w = pose.apply_normals(frame_normals)
     cols = (
@@ -299,39 +375,43 @@ def integrate_frame_with_imap(
         if frame_colors is not None
         else jnp.zeros_like(frame_points)
     )
-    c_old = fmap.confidence[m_idx]
+    npix = m_idx.shape[0]
     w_f = radial / jnp.maximum(radial + c_old, 1e-30)
-    fused_pts = fmap.points[m_idx] * (1.0 - w_f[:, None]) + pts_w * w_f[:, None]
-    fused_nrm = (
-        fmap.normals[m_idx] * (1.0 - w_f[:, None]) + nrm_w * w_f[:, None]
-    )
+    fused_nrm = m_nrm_w * (1.0 - w_f[:, None]) + nrm_w * w_f[:, None]
     fused_nrm = fused_nrm / jnp.maximum(
         jnp.linalg.norm(fused_nrm, axis=-1, keepdims=True), 1e-30
     )
-    fused_cols = (
-        fmap.colors[m_idx] * (1.0 - w_f[:, None]) + cols * w_f[:, None]
+    one = jnp.ones((npix, 1), jnp.float32)
+    fuse_rows = jnp.concatenate(
+        [
+            m_pts_w * (1.0 - w_f[:, None]) + pts_w * w_f[:, None],
+            fused_nrm,
+            m_cols * (1.0 - w_f[:, None]) + cols * w_f[:, None],
+            (c_old + w_f)[:, None],
+            one,
+            jnp.zeros((npix, _MAP_WIDTH - 11), jnp.float32),
+        ],
+        axis=1,
     )
+    aug_rows = jnp.concatenate(
+        [
+            pts_w,
+            nrm_w,
+            cols,
+            radial[:, None],
+            one,
+            jnp.zeros((npix, _MAP_WIDTH - 11), jnp.float32),
+        ],
+        axis=1,
+    )
+    carve_row = jnp.zeros((_MAP_WIDTH,), jnp.float32).at[0:3].set(1e30)
 
-    # Scatter targets are unique (each model point wins ≤ 1 pixel); masked
-    # lanes get DISTINCT out-of-bounds indices so mode="drop" discards them
-    # and unique_indices=True stays honest — TPU's fast scatter path.
-    npix = m_idx.shape[0]
-    oob = fmap.capacity + jnp.arange(npix, dtype=jnp.int32)
-    tgt = jnp.where(do_fuse, m_idx, oob)
-    uq = dict(mode="drop", unique_indices=True)
-    points = fmap.points.at[tgt].set(fused_pts, **uq)
-    normals = fmap.normals.at[tgt].set(fused_nrm, **uq)
-    colors = fmap.colors.at[tgt].set(fused_cols, **uq)
-    confidence = fmap.confidence.at[tgt].add(w_f, **uq)
-    valid = fmap.valid
-
-    # --- carve -----------------------------------------------------------
-    carve_tgt = jnp.where(do_carve, m_idx, oob)
-    valid = valid.at[carve_tgt].set(False, **uq)
-
-    # --- augment: assign the i-th new point to the i-th free slot ---------
+    # --- free-slot assignment for augments -------------------------------
     # rank→slot built with one unique-index scatter (ranks of free slots are
-    # distinct), avoiding a capacity-sized sort per frame.
+    # distinct), avoiding a capacity-sized sort per frame. Carved slots
+    # become reusable from the NEXT frame (their rows are written this
+    # frame, so they cannot double as augment targets).
+    valid = fmap.valid
     free = ~valid
     rank_of_slot = jnp.cumsum(free.astype(jnp.int32)) - 1
     cap_ids = jnp.arange(fmap.capacity, dtype=jnp.int32)
@@ -344,25 +424,25 @@ def integrate_frame_with_imap(
     aug_rank = jnp.cumsum(do_augment.astype(jnp.int32)) - 1  # per pixel
     aug_slot = slot_of_rank[jnp.clip(aug_rank, 0, fmap.capacity - 1)]
     aug_ok = do_augment & (aug_rank < num_free)
-    aug_tgt = jnp.where(aug_ok, aug_slot, oob)
-    points = points.at[aug_tgt].set(pts_w, **uq)
-    normals = normals.at[aug_tgt].set(nrm_w, **uq)
-    colors = colors.at[aug_tgt].set(cols, **uq)
-    # New-point confidence = its radial weight (fusion.cpp:215).
-    confidence = confidence.at[aug_tgt].set(radial, **uq)
-    valid = valid.at[aug_tgt].set(True, **uq)
 
-    points = jnp.where(valid[:, None], points, 1e30)
-    return (
-        FusionMap(
-            points=points,
-            normals=normals,
-            colors=colors,
-            confidence=confidence,
-            valid=valid,
-        ),
-        imap,
+    # --- ONE combined scatter --------------------------------------------
+    # Targets are unique: each model point wins ≤ 1 pixel (fuse/carve hit
+    # valid slots, mutually exclusive per pixel), augments hit free slots,
+    # and masked lanes get DISTINCT out-of-bounds indices so mode="drop"
+    # discards them while unique_indices=True stays honest.
+    oob = fmap.capacity + jnp.arange(npix, dtype=jnp.int32)
+    tgt = jnp.where(
+        do_fuse | do_carve, m_idx, jnp.where(aug_ok, aug_slot, oob)
     )
+    rows_out = jnp.where(
+        do_fuse[:, None],
+        fuse_rows,
+        jnp.where(do_carve[:, None], carve_row[None, :], aug_rows),
+    )
+    data = fmap.data.at[tgt].set(
+        rows_out, mode="drop", unique_indices=True
+    )
+    return FusionMap(data=data), imap
 
 
 def integrate_frame(*args, **kwargs) -> FusionMap:

@@ -113,12 +113,11 @@ class TestFusion:
         junk = np.zeros((50, 3), np.float32)
         junk[:, 0] = np.linspace(-0.14, 0.14, 50)
         junk[:, 2] = 0.5
-        fmap = fmap.__class__(
+        fmap = fmap.replace_fields(
             points=fmap.points.at[-50:].set(jnp.asarray(junk)),
             normals=fmap.normals.at[-50:].set(
                 jnp.asarray(np.tile([0, 0, -1.0], (50, 1)).astype(np.float32))
             ),
-            colors=fmap.colors,
             confidence=fmap.confidence.at[-50:].set(1.0),
             valid=fmap.valid.at[-50:].set(True),
         )
@@ -139,10 +138,9 @@ class TestFusion:
         junk[:, 2] = 0.5
         # Normals perpendicular to the view ray → grazing incidence.
         grazing = np.tile([0.0, 1.0, 0.0], (50, 1)).astype(np.float32)
-        fmap = fmap.__class__(
+        fmap = fmap.replace_fields(
             points=fmap.points.at[-50:].set(jnp.asarray(junk)),
             normals=fmap.normals.at[-50:].set(jnp.asarray(grazing)),
-            colors=fmap.colors,
             confidence=fmap.confidence.at[-50:].set(1.0),
             valid=fmap.valid.at[-50:].set(True),
         )
