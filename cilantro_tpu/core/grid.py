@@ -117,10 +117,11 @@ def grid_downsample(
     """Voxel downsample: per-bin mean of points (and colors), sign-consistent
     mean of normals — the union of all four reference downsampler variants
     (``grid_downsampler.hpp:9-340``). Output capacity equals input capacity
-    unless ``capacity`` is given; bins occupy the leading slots in voxel
-    lexicographic order (bins beyond ``capacity`` are dropped — choose it
-    generously; the coarse levels of multi-resolution ICP use this to keep NN
-    cost proportional to the downsampled size, not the input capacity).
+    unless ``capacity`` is given; when the occupied-bin count exceeds
+    ``capacity``, the **most occupied** bins are kept — a spatially unbiased
+    criterion (a lexicographic prefix would silently drop one spatial corner
+    of the cloud, biasing downstream consumers like the coarse levels of
+    multi-resolution ICP).
     """
     n = cloud.capacity
     valid = cloud.valid_mask()
@@ -153,10 +154,21 @@ def grid_downsample(
     bin_valid = counts >= min_points_in_bin
     pts = jnp.where(bin_valid[:, None], pts, 1e30)
     if capacity is not None and capacity < n:
-        pts = pts[:capacity]
-        normals = normals[:capacity] if normals is not None else None
-        colors = colors[:capacity] if colors is not None else None
-        bin_valid = bin_valid[:capacity]
+        # Keep the `capacity` most-occupied bins (occupancy is spatially
+        # unbiased; the lexicographic prefix is not). Ties break on a hash of
+        # the bin id — equal-occupancy grids would otherwise degenerate back
+        # to the biased index order.
+        tie = (
+            (jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761))
+            >> 16
+        ).astype(jnp.float32) / 65536.0
+        key = jnp.where(bin_valid, counts.astype(jnp.float32) + tie * 0.5, -1.0)
+        _, keep = jax.lax.top_k(key, capacity)
+        pts = pts[keep]
+        normals = normals[keep] if normals is not None else None
+        colors = colors[keep] if colors is not None else None
+        bin_valid = bin_valid[keep]
+        pts = jnp.where(bin_valid[:, None], pts, 1e30)
     return PointCloud(points=pts, normals=normals, colors=colors, valid=bin_valid)
 
 

@@ -20,6 +20,7 @@ from .warp_field import (  # noqa: F401
     build_dense_graph,
     estimate_warp_field,
     icp_warp_field,
+    icp_warp_field_projective,
     identity_warp,
     resample_transforms,
     warp_points,

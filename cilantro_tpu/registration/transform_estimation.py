@@ -201,17 +201,39 @@ def _gn_accumulate_2d(src, dst, dst_normals, w_pp, w_pl, omega_points=None):
     return jtj, jtr
 
 
-def _delta_from_step_3d(step):
-    """Reference update ``R(atan‖ω‖, ω̂)·t`` (``transform_estimation.hpp:349-357``)."""
+def _two_sided_update_3d(step):
+    """Reference GN update ``Ra · T(cos θ · t) · Ra`` with
+    ``θ = atan‖ω‖`` (``transform_estimation.hpp:349-357``) — the rotation is
+    applied on both sides of the cos-scaled translation (Rusinkiewicz
+    parameterization, shared by the combined and symmetric metrics)."""
     omega, t = step[:3], step[3:]
-    theta = jnp.linalg.norm(omega)
-    scale = jnp.where(theta > _EPS, jnp.arctan(theta) / jnp.maximum(theta, _EPS), 1.0)
-    r = axis_angle_to_rotation(omega * scale)
-    return Transform(r, t)
+    na = jnp.linalg.norm(omega)
+    theta = jnp.arctan(na)
+    scale = jnp.where(na > _EPS, theta / jnp.maximum(na, _EPS), 1.0)
+    half_r = axis_angle_to_rotation(omega * scale)
+    ta = jnp.cos(theta) * t
+    return compose(
+        Transform(half_r, jnp.zeros(3, step.dtype)),
+        compose(
+            Transform(jnp.eye(3, dtype=step.dtype), ta),
+            Transform(half_r, jnp.zeros(3, step.dtype)),
+        ),
+    )
 
 
-def _delta_from_step_2d(step):
-    return Transform(rot2d(step[0], dtype=step.dtype), step[1:])
+def _two_sided_update_2d(step):
+    """2D analogue: ``Ra · T(cos θ · t) · Ra`` with ``θ = atan(step₀)``
+    (``transform_estimation.hpp:588-592``)."""
+    theta = jnp.arctan(step[0])
+    half_r = rot2d(theta, dtype=step.dtype)
+    ta = jnp.cos(theta) * step[1:]
+    return compose(
+        Transform(half_r, jnp.zeros(2, step.dtype)),
+        compose(
+            Transform(jnp.eye(2, dtype=step.dtype), ta),
+            Transform(half_r, jnp.zeros(2, step.dtype)),
+        ),
+    )
 
 
 def estimate_rigid_combined_metric(
@@ -226,21 +248,32 @@ def estimate_rigid_combined_metric(
 ) -> Tuple[Transform, jax.Array]:
     """Rigid combined point-to-point + point-to-plane GN
     (``estimateTransformCombinedMetric``, ``transform_estimation.hpp:238-367``;
-    2D variant ``:116-235``). Default 1 inner iteration as the reference
-    (``transform_estimation.hpp:44``). Weights of 0 drop a correspondence from
-    the respective metric (the reference uses two independent correspondence
-    sets; a shared gather with two weight channels is equivalent and fuses)."""
+    2D variant ``:116-235``): (d+s)-coupled rotation rows, mean-centered
+    coordinates, and the two-sided ``Ra·T(cos θ·t)·Ra`` update — exactly the
+    reference's per-iteration behavior. Default 1 inner iteration as the
+    reference (``transform_estimation.hpp:44``). Weights of 0 drop a
+    correspondence from the respective metric (the reference uses two
+    independent correspondence sets; a shared gather with two weight channels
+    is equivalent and fuses)."""
     n, d = src.shape
     w_pp = jnp.zeros(n, src.dtype) if point_weights is None else point_weights
     w_pl = jnp.ones(n, src.dtype) if plane_weights is None else plane_weights
     acc = _gn_accumulate_3d if d == 3 else _gn_accumulate_2d
-    delta_of = _delta_from_step_3d if d == 3 else _delta_from_step_2d
+    delta_of = _two_sided_update_3d if d == 3 else _two_sided_update_2d
     dof = 6 if d == 3 else 3
+
+    # Mean-centering for conditioning (transform_estimation.hpp:134-137,
+    # 256-262): solve in centered coordinates, un-center at the end.
+    mu_s, mu_d, _ = _weighted_means(src, dst, w_pp + w_pl)
+    src_c = src - mu_s
+    dst_c = dst - mu_d
 
     def body(carry):
         tf, _, it = carry
-        s = tf.apply(src)
-        jtj, jtr = acc(s, dst, dst_normals, w_pp, w_pl)
+        s = tf.apply(src_c)
+        # Rotation rows couple (d + s) — the same two-sided linearization as
+        # the symmetric metric (transform_estimation.hpp:306-341).
+        jtj, jtr = acc(s, dst_c, dst_normals, w_pp, w_pl, omega_points=s + dst_c)
         step = _solve_normal_equations(jtj, jtr, dof)
         delta = delta_of(step)
         return compose(delta, tf), jnp.linalg.norm(step), it + 1
@@ -255,6 +288,11 @@ def estimate_rigid_combined_metric(
         jnp.array(0, jnp.int32),
     )
     tf, _, _ = jax.lax.while_loop(cond, body, init)
+    # Un-center: T(μ_d) ∘ tf ∘ T(−μ_s) (transform_estimation.hpp:361-364).
+    eye = jnp.eye(d, dtype=src.dtype)
+    tf = compose(
+        Transform(eye, mu_d), compose(tf, Transform(eye, -mu_s))
+    )
     valid = jnp.sum((w_pp + w_pl) > 0) >= d
     return tf, valid
 
@@ -283,41 +321,27 @@ def estimate_rigid_symmetric_metric(
     w_pl = jnp.ones(n, src.dtype) if plane_weights is None else plane_weights
 
     acc = _gn_accumulate_3d if d == 3 else _gn_accumulate_2d
+    delta_of = _two_sided_update_3d if d == 3 else _two_sided_update_2d
     dof = 6 if d == 3 else 3
+
+    # Mean-centering for conditioning (transform_estimation.hpp:499-503).
+    mu_s, mu_d, _ = _weighted_means(src, dst, w_pp + w_pl)
+    src_c = src - mu_s
+    dst_c = dst - mu_d
 
     def body(carry):
         tf, _, it = carry
-        s = tf.apply(src)
+        s = tf.apply(src_c)
         ns = tf.apply_normals(src_normals)
         nrm = dst_normals + ns  # un-normalized, as the reference (:705-706)
         # Both metrics linearized in the symmetric R·T(t)·R parameterization:
         # J_ω uses (s + d) (point-to-point rows r = s−d with J_ω = −[(s+d)]×,
         # plane rows [( (s+d)×n )ᵀ | nᵀ] with the symmetric normal n).
-        jtj, jtr = acc(s, dst, nrm, w_pp, w_pl, omega_points=s + dst)
+        jtj, jtr = acc(s, dst_c, nrm, w_pp, w_pl, omega_points=s + dst_c)
         step = _solve_normal_equations(jtj, jtr, dof)
-        if d == 3:
-            omega, t = step[:3], step[3:]
-            theta = jnp.linalg.norm(omega)
-            scale = jnp.where(
-                theta > _EPS, jnp.arctan(theta) / jnp.maximum(theta, _EPS), 1.0
-            )
-            half_r = axis_angle_to_rotation(omega * scale)
-            delta = compose(
-                Transform(half_r, jnp.zeros(3, src.dtype)),
-                compose(
-                    Transform(jnp.eye(3, dtype=src.dtype), t),
-                    Transform(half_r, jnp.zeros(3, src.dtype)),
-                ),
-            )
-        else:
-            half_r = rot2d(step[0], dtype=step.dtype)
-            delta = compose(
-                Transform(half_r, jnp.zeros(2, src.dtype)),
-                compose(
-                    Transform(jnp.eye(2, dtype=src.dtype), step[1:]),
-                    Transform(half_r, jnp.zeros(2, src.dtype)),
-                ),
-            )
+        # Two-sided update with cos(θ)-scaled translation
+        # (transform_estimation.hpp:725-731).
+        delta = delta_of(step)
         return compose(delta, tf), jnp.linalg.norm(step), it + 1
 
     def cond(carry):
@@ -330,6 +354,10 @@ def estimate_rigid_symmetric_metric(
         jnp.array(0, jnp.int32),
     )
     tf, _, _ = jax.lax.while_loop(cond, body, init)
+    eye = jnp.eye(d, dtype=src.dtype)
+    tf = compose(
+        Transform(eye, mu_d), compose(tf, Transform(eye, -mu_s))
+    )
     valid = jnp.sum((w_pp + w_pl) > 0) >= d
     return tf, valid
 

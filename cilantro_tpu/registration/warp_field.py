@@ -609,3 +609,125 @@ def build_dense_graph(
             arc_j_sorted=jnp.zeros(0, jnp.int32),
         )
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "height",
+        "width",
+        "max_iterations",
+        "max_gn_iterations",
+        "max_cg_iterations",
+        "node_type",
+    ),
+)
+def icp_warp_field_projective(
+    graph: DeformationGraph,
+    src_points: jax.Array,
+    dst_points: jax.Array,
+    intrinsics,
+    *,
+    height: int,
+    width: int,
+    index_map: Optional[jax.Array] = None,
+    dst_normals: Optional[jax.Array] = None,
+    src_valid: Optional[jax.Array] = None,
+    dst_valid: Optional[jax.Array] = None,
+    max_corr_dist_sq: float = 0.0025,
+    point_weight: float = 0.1,
+    plane_weight: float = 1.0,
+    stiffness: float = 200.0,
+    huber_delta: float = 1e-2,
+    max_iterations: int = 15,
+    convergence_tol: float = 2.5e-3,
+    max_gn_iterations: int = 1,
+    max_cg_iterations: int = 500,
+    node_type: str = "rigid",
+) -> Tuple[Transform, jax.Array, jax.Array]:
+    """Non-rigid ICP with **projective** correspondence search — the
+    reference's projective warp-field instances
+    (``icp_common_instances.hpp:246-335``: ``...WarpFieldProjectiveICP``
+    wiring ``CorrespondenceSearchProjective`` into the warp-field solvers).
+
+    Both clouds live in the dst camera frame; the dst index map is rendered
+    once and resolved into a packed per-pixel target
+    (:func:`..correspondence.projective.pack_projective_target`), so each
+    outer iteration costs one warp + one projection + ONE gather — O(N) per
+    iteration regardless of dst size, the same speedup the rigid fusion
+    localizer gets.
+    """
+    from ..core.rgbd import points_to_index_map
+    from ..correspondence.projective import (
+        find_projective_correspondences_packed,
+        pack_projective_target,
+    )
+
+    n, d = src_points.shape
+    if src_valid is None:
+        src_valid = jnp.ones(n, bool)
+    if index_map is None:
+        index_map = points_to_index_map(
+            dst_points, intrinsics, height, width, valid=dst_valid
+        )
+    packed = pack_projective_target(
+        dst_points, dst_normals, index_map, dst_valid=dst_valid
+    )
+    node_tf = identity_warp(graph.num_nodes, d)
+
+    def body(carry):
+        node_tf, _, it = carry
+        warped = warp_points(graph, node_tf, src_points)
+        _, dgt, ngt, w = find_projective_correspondences_packed(
+            warped,
+            packed,
+            intrinsics,
+            height,
+            width,
+            src_valid=src_valid,
+            max_distance=max_corr_dist_sq,
+        )
+        new_tf, _ = estimate_warp_field(
+            graph,
+            src_points,
+            dgt,
+            ngt if dst_normals is not None else None,
+            w,
+            init=node_tf,
+            point_weight=point_weight,
+            plane_weight=plane_weight,
+            stiffness=stiffness,
+            huber_delta=huber_delta,
+            max_gn_iterations=max_gn_iterations,
+            gn_tol=0.0,
+            max_cg_iterations=max_cg_iterations,
+            node_type=node_type,
+        )
+        delta_lin = new_tf.linear - node_tf.linear
+        delta_tr = new_tf.translation - node_tf.translation
+        upd = jnp.max(
+            jnp.where(
+                graph.node_valid,
+                jnp.sqrt(
+                    jnp.sum(delta_lin**2, axis=(-2, -1))
+                    + jnp.sum(delta_tr**2, axis=-1)
+                ),
+                0.0,
+            )
+        )
+        return new_tf, upd, it + 1
+
+    def cond(carry):
+        _, upd, it = carry
+        return (it < max_iterations) & (upd >= convergence_tol)
+
+    node_tf, upd, it = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            node_tf,
+            jnp.array(jnp.inf, src_points.dtype),
+            jnp.array(0, jnp.int32),
+        ),
+    )
+    return node_tf, it, upd < convergence_tol

@@ -187,3 +187,26 @@ def test_mcd_chi_square_gate(rng):
         jax.random.PRNGKey(0), jnp.asarray(pts_out), chi_square_threshold=7.81
     )
     assert not bool(valid_out)
+
+
+def test_grid_downsample_capacity_unbiased(rng):
+    """Capacity overflow must not drop a spatial corner: with capacity for
+    half the bins, kept bins must span the full extent of the cloud."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cilantro_tpu.core.containers import PointCloud
+    from cilantro_tpu.core.grid import grid_downsample
+
+    # 1D line of 64 voxels along x, equally occupied.
+    pts = np.zeros((640, 3), np.float32)
+    pts[:, 0] = np.repeat(np.arange(64), 10) * 0.1 + 0.05
+    pts[:, 0] += rng.uniform(-0.03, 0.03, 640)
+    out = grid_downsample(
+        PointCloud(points=jnp.asarray(pts)), 0.1, capacity=32
+    )
+    kept = np.asarray(out.points)[np.asarray(out.valid)]
+    # A lexicographic prefix would span only [0, 3.2); occupancy-based
+    # selection keeps bins across the whole [0, 6.4) extent.
+    assert kept[:, 0].max() > 4.0
+    assert kept[:, 0].min() < 2.0

@@ -157,3 +157,53 @@ class TestAffineWarpField:
         lin = np.asarray(node_tf.linear)
         dets = np.linalg.det(lin)
         assert np.abs(dets - 1.0).max() > 1e-3
+
+
+class TestProjectiveWarpField:
+    def test_projective_recovers_deformation(self, rng):
+        """Recover a smooth bend through PROJECTIVE correspondences on an
+        organized frame (reference icp_common_instances.hpp:246-335)."""
+        from cilantro_tpu.core.rgbd import (
+            CameraIntrinsics,
+            depth_to_points_normals,
+        )
+        from cilantro_tpu.registration import icp_warp_field_projective
+
+        K = CameraIntrinsics.make(80.0, 80.0, 31.5, 23.5)
+        H, W = 48, 64
+        v, u = np.mgrid[0:H, 0:W].astype(np.float32)
+        depth = 1.2 + 0.04 * np.sin(0.25 * u) + 0.03 * np.cos(0.2 * v)
+        src, src_nrm, src_ok = depth_to_points_normals(
+            jnp.asarray(depth.astype(np.float32)), K
+        )
+        src_np = np.asarray(src)
+        # Smooth deformation in camera space (z-bend along x).
+        dst_np = src_np.copy()
+        dst_np[:, 2] += 0.03 * np.sin(2.5 * src_np[:, 0])
+        nodes = control_nodes(src_np[np.asarray(src_ok)], step=0.15)
+        graph = build_deformation_graph(
+            jnp.asarray(src_np), jnp.asarray(nodes), k_anchors=4, k_arcs=6
+        )
+        node_tf, iters, converged = icp_warp_field_projective(
+            graph,
+            src,
+            jnp.asarray(dst_np),
+            K,
+            height=H,
+            width=W,
+            src_valid=src_ok,
+            dst_valid=src_ok,
+            max_corr_dist_sq=0.01,
+            point_weight=1.0,
+            plane_weight=0.0,
+            stiffness=5.0,
+            max_iterations=12,
+            convergence_tol=1e-4,
+            max_cg_iterations=60,
+        )
+        warped = np.asarray(warp_points(graph, node_tf, src))
+        ok = np.asarray(src_ok)
+        err = np.linalg.norm(warped[ok] - dst_np[ok], axis=1)
+        base = np.linalg.norm(src_np[ok] - dst_np[ok], axis=1)
+        assert np.median(err) < 0.25 * np.median(base)
+        assert np.median(err) < 5e-3
