@@ -49,25 +49,30 @@ def bench_fusion_tpu(depths, gt, k):
         f"({1.0/metrics.seconds_per_frame:.1f} fps), ATE {ate*1e3:.2f} mm, "
         f"{metrics.num_map_points} map points"
     )
-    return metrics.seconds_per_frame, ate
+    return metrics.seconds_per_frame, ate, metrics.poses
 
 
 def bench_fusion_cpu(depths):
     from bench_baseline import fusion_cpu
 
     best = float("inf")
+    poses = None
     for _ in range(2):  # best-of-2 guards against host contention spikes
         t0 = time.perf_counter()
-        fusion_cpu(depths[:CPU_FRAMES], 525.0, 525.0, 319.5, 239.5)
+        poses = fusion_cpu(depths[:CPU_FRAMES], 525.0, 525.0, 319.5, 239.5)
         best = min(best, (time.perf_counter() - t0) / (CPU_FRAMES - 1))
     log(f"CPU fusion baseline: {best*1e3:.0f} ms/frame ({1.0/best:.2f} fps)")
-    return best
+    return best, poses
 
 
 def bench_rigid_icp():
-    """Secondary: the frame-pair registration workload (stderr only)."""
-    import jax.numpy as jnp
-    from scipy.spatial import cKDTree
+    """Secondary: the frame-pair registration workload (stderr only).
+
+    The CPU side is the COMPILED single-core C++ kd-tree point-to-plane ICP
+    (native/src/baseline_icp.cpp) — a real registration loop, not an
+    extrapolated query-pass count; its estimated transform also cross-checks
+    the TPU result."""
+    from cilantro_tpu.native import baseline_icp_native
     from cilantro_tpu.utils import read_point_cloud
     from cilantro_tpu.registration import icp_multires
 
@@ -91,16 +96,33 @@ def bench_rigid_icp():
         np.asarray(res.transform.linear)
     tpu_dt = (time.perf_counter() - t0) / 3
 
-    t0 = time.perf_counter()
-    tree = cKDTree(p2)
-    s = p1.astype(np.float64)
-    for _ in range(3):
-        d, idx = tree.query(s, k=1, workers=1)
-    cpu_dt = (time.perf_counter() - t0) / 3 * 12  # 12 converged iterations
-    log(
-        f"rigid ICP (120k pair): TPU {tpu_dt*1e3:.0f} ms vs CPU kd-tree "
-        f"~{cpu_dt*1e3:.0f} ms -> {cpu_dt/tpu_dt:.1f}x"
+    cpu = baseline_icp_native(
+        p1, p2, n2, max_iterations=15, max_corr_dist_sq=0.01,
+        convergence_tol=1e-4,
     )
+    if cpu is not None:
+        tf_cpu, it_cpu, ms_best = cpu
+        for _ in range(1):  # best-of-2
+            _, _, ms2 = baseline_icp_native(
+                p1, p2, n2, max_iterations=15, max_corr_dist_sq=0.01,
+                convergence_tol=1e-4,
+            )
+            ms_best = min(ms_best, ms2)
+        cpu_dt = ms_best / 1e3
+        rot_err = float(
+            np.abs(np.asarray(res.transform.linear) - tf_cpu[:, :3]).max()
+        )
+        tr_err = float(
+            np.abs(np.asarray(res.transform.translation) - tf_cpu[:, 3]).max()
+        )
+        log(
+            f"rigid ICP (120k pair): TPU {tpu_dt*1e3:.0f} ms vs C++ "
+            f"single-core {cpu_dt*1e3:.0f} ms ({it_cpu} iters) -> "
+            f"{cpu_dt/tpu_dt:.1f}x; transform agreement rot {rot_err:.1e} "
+            f"/ tr {tr_err:.1e}"
+        )
+    else:
+        log("rigid ICP C++ baseline unavailable (no toolchain)")
 
     # NN throughput (BASELINE "NN queries/sec" row): exact 120k→120k.
     from cilantro_tpu.neighbors import nn1
@@ -126,8 +148,16 @@ def main():
     log("rendering synthetic sequence...")
     depths, gt = synthetic_sequence(FRAMES, H, W, k, seed=0)
 
-    tpu_dt, ate = bench_fusion_tpu(depths, gt, k)
-    cpu_dt = bench_fusion_cpu(depths)
+    tpu_dt, ate, tpu_poses = bench_fusion_tpu(depths, gt, k)
+    cpu_dt, cpu_poses = bench_fusion_cpu(depths)
+    # ATE cross-reference: the TPU trajectory checked against the INDEPENDENT
+    # single-core implementation's trajectory on the shared frame prefix (not
+    # just against the generator's ground truth).
+    if cpu_poses is not None:
+        from cilantro_tpu.slam import ate_rmse
+
+        cross = ate_rmse(tpu_poses[: len(cpu_poses)], cpu_poses)
+        log(f"cross-implementation ATE (TPU vs CPU pipeline): {cross*1e3:.3f} mm")
     try:
         bench_rigid_icp()
     except Exception as e:  # secondary metric must not kill the headline

@@ -152,3 +152,67 @@ def ply_write_native(
 
 def native_available() -> bool:
     return _ply_lib() is not None
+
+
+# ---------------------------------------------------------------------------
+# Single-core C++ ICP baseline (honest benchmark reference).
+# ---------------------------------------------------------------------------
+
+
+def _baseline_lib() -> Optional[ctypes.CDLL]:
+    lib = _load("baseline_icp")
+    if lib is None:
+        return None
+    if not getattr(lib, "_configured", False):
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.baseline_icp.argtypes = [
+            fp, fp, fp,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float,
+            fp, ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.baseline_icp.restype = ctypes.c_int
+        lib._configured = True
+    return lib
+
+
+def baseline_icp_native(
+    src: np.ndarray,
+    dst: np.ndarray,
+    dst_normals: np.ndarray,
+    *,
+    max_iterations: int = 15,
+    max_corr_dist_sq: float = 0.01,
+    convergence_tol: float = 1e-5,
+) -> Optional[Tuple[np.ndarray, int, float]]:
+    """Single-core C++ kd-tree point-to-plane ICP (the compiled CPU baseline
+    the bench compares against — a from-scratch stand-in for the reference's
+    nanoflann + combined-metric GN path, ``examples/rigid_icp.cpp:116-133``).
+
+    Returns ``(transform (3, 4) [R|t], iterations, milliseconds)`` or None if
+    the toolchain is unavailable.
+    """
+    lib = _baseline_lib()
+    if lib is None:
+        return None
+    fp = ctypes.POINTER(ctypes.c_float)
+    s = np.ascontiguousarray(src, np.float32)
+    d = np.ascontiguousarray(dst, np.float32)
+    dn = np.ascontiguousarray(dst_normals, np.float32)
+    out_tf = np.zeros(12, np.float32)
+    out_ms = ctypes.c_double(0.0)
+    it = lib.baseline_icp(
+        s.ctypes.data_as(fp),
+        d.ctypes.data_as(fp),
+        dn.ctypes.data_as(fp),
+        len(s),
+        len(d),
+        max_iterations,
+        max_corr_dist_sq,
+        convergence_tol,
+        out_tf.ctypes.data_as(fp),
+        ctypes.byref(out_ms),
+    )
+    if it < 0:
+        raise ValueError(f"baseline_icp failed ({it})")
+    return out_tf.reshape(3, 4), it, out_ms.value

@@ -1,0 +1,252 @@
+// Single-core C++ baseline: kd-tree point-to-plane rigid ICP.
+//
+// This is the honest CPU reference the benchmarks compare against — the same
+// algorithm class as the reference pipeline (nanoflann kd-tree + combined-
+// metric GN, examples/rigid_icp.cpp:116-133), written from scratch: a
+// median-split kd-tree with best-bin-first descent, a point-to-plane
+// Gauss-Newton accumulation, and a hand-rolled 6x6 Cholesky solve (no Eigen
+// on this image). Compiled -O3 single-thread; timed end-to-end inside
+// baseline_icp() so Python overhead is excluded.
+//
+// ABI:
+//   baseline_icp(src, dst, dst_normals, n_src, n_dst, max_iter,
+//                max_corr_dist_sq, conv_tol, out_transform[12], out_ms)
+//     -> iterations performed (negative on error)
+//   out_transform: row-major 3x4 [R | t] mapping src onto dst.
+
+#include <algorithm>
+#include <chrono>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct KDNode {
+  float split;
+  int axis;       // -1 for leaf
+  int left, right;  // children (indices into nodes) or [begin,end) for leaf
+};
+
+// A compact median-split kd-tree over (n, 3) float points.
+struct KDTree {
+  const float* pts;
+  std::vector<int> idx;
+  std::vector<KDNode> nodes;
+  int leaf_size = 16;
+
+  void build(const float* p, int n) {
+    pts = p;
+    idx.resize(n);
+    for (int i = 0; i < n; i++) idx[i] = i;
+    nodes.clear();
+    nodes.reserve(2 * n / leaf_size + 8);
+    build_rec(0, n);
+  }
+
+  int build_rec(int begin, int end) {
+    int node_id = int(nodes.size());
+    nodes.push_back({});
+    if (end - begin <= leaf_size) {
+      nodes[node_id] = {0.0f, -1, begin, end};
+      return node_id;
+    }
+    // Widest-extent axis.
+    float lo[3] = {1e30f, 1e30f, 1e30f}, hi[3] = {-1e30f, -1e30f, -1e30f};
+    for (int i = begin; i < end; i++) {
+      const float* q = pts + 3 * idx[i];
+      for (int a = 0; a < 3; a++) {
+        if (q[a] < lo[a]) lo[a] = q[a];
+        if (q[a] > hi[a]) hi[a] = q[a];
+      }
+    }
+    int axis = 0;
+    float ext = hi[0] - lo[0];
+    for (int a = 1; a < 3; a++)
+      if (hi[a] - lo[a] > ext) ext = hi[a] - lo[a], axis = a;
+    int mid = (begin + end) / 2;
+    std::nth_element(idx.begin() + begin, idx.begin() + mid, idx.begin() + end,
+                     [&](int a, int b) { return pts[3 * a + axis] < pts[3 * b + axis]; });
+    float split = pts[3 * idx[mid] + axis];
+    int left = build_rec(begin, mid);
+    int right = build_rec(mid, end);
+    nodes[node_id] = {split, axis, left, right};
+    return node_id;
+  }
+
+  // Nearest neighbor within sqrt(max_d2); returns index or -1.
+  int nn(const float* q, float max_d2, float* out_d2) const {
+    best_i = -1;
+    best_d2 = max_d2;
+    search(0, q);
+    *out_d2 = best_d2;
+    return best_i;
+  }
+
+ private:
+  mutable int best_i;
+  mutable float best_d2;
+
+  void search(int node_id, const float* q) const {
+    const KDNode& nd = nodes[node_id];
+    if (nd.axis < 0) {
+      for (int i = nd.left; i < nd.right; i++) {
+        const float* p = pts + 3 * idx[i];
+        float dx = p[0] - q[0], dy = p[1] - q[1], dz = p[2] - q[2];
+        float d2 = dx * dx + dy * dy + dz * dz;
+        if (d2 < best_d2) {
+          best_d2 = d2;
+          best_i = idx[i];
+        }
+      }
+      return;
+    }
+    float diff = q[nd.axis] - nd.split;
+    int near = diff <= 0 ? nd.left : nd.right;
+    int far = diff <= 0 ? nd.right : nd.left;
+    search(near, q);
+    if (diff * diff < best_d2) search(far, q);
+  }
+};
+
+// Hand-rolled 6x6 Cholesky solve (A SPD).
+bool chol_solve6(double a[6][6], const double b[6], double x[6]) {
+  double l[6][6] = {};
+  for (int i = 0; i < 6; i++) {
+    double s = a[i][i];
+    for (int k = 0; k < i; k++) s -= l[i][k] * l[i][k];
+    if (s <= 0) return false;
+    l[i][i] = std::sqrt(s);
+    for (int j = i + 1; j < 6; j++) {
+      double t = a[j][i];
+      for (int k = 0; k < i; k++) t -= l[j][k] * l[i][k];
+      l[j][i] = t / l[i][i];
+    }
+  }
+  double y[6];
+  for (int i = 0; i < 6; i++) {
+    double s = b[i];
+    for (int k = 0; k < i; k++) s -= l[i][k] * y[k];
+    y[i] = s / l[i][i];
+  }
+  for (int i = 5; i >= 0; i--) {
+    double s = y[i];
+    for (int k = i + 1; k < 6; k++) s -= l[k][i] * x[k];
+    x[i] = s / l[i][i];
+  }
+  return true;
+}
+
+void axis_angle_rot(const double w[3], double r[3][3]) {
+  double th = std::sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2]);
+  if (th < 1e-12) {
+    r[0][0] = 1; r[0][1] = -w[2]; r[0][2] = w[1];
+    r[1][0] = w[2]; r[1][1] = 1; r[1][2] = -w[0];
+    r[2][0] = -w[1]; r[2][1] = w[0]; r[2][2] = 1;
+    return;
+  }
+  double kx = w[0] / th, ky = w[1] / th, kz = w[2] / th;
+  double c = std::cos(th), s = std::sin(th), v = 1 - c;
+  r[0][0] = c + kx * kx * v;      r[0][1] = kx * ky * v - kz * s; r[0][2] = kx * kz * v + ky * s;
+  r[1][0] = ky * kx * v + kz * s; r[1][1] = c + ky * ky * v;      r[1][2] = ky * kz * v - kx * s;
+  r[2][0] = kz * kx * v - ky * s; r[2][1] = kz * ky * v + kx * s; r[2][2] = c + kz * kz * v;
+}
+
+void mat_mul3(const double a[3][3], const double b[3][3], double out[3][3]) {
+  for (int i = 0; i < 3; i++)
+    for (int j = 0; j < 3; j++) {
+      double s = 0;
+      for (int k = 0; k < 3; k++) s += a[i][k] * b[k][j];
+      out[i][j] = s;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+int baseline_icp(const float* src, const float* dst, const float* dst_normals,
+                 int64_t n_src, int64_t n_dst, int max_iter,
+                 float max_corr_dist_sq, float conv_tol, float* out_transform,
+                 double* out_ms) {
+  if (!src || !dst || !dst_normals || n_src <= 0 || n_dst <= 0) return -1;
+  auto t0 = std::chrono::steady_clock::now();
+
+  KDTree tree;
+  tree.build(dst, int(n_dst));
+
+  double rot[3][3] = {{1, 0, 0}, {0, 1, 0}, {0, 0, 1}};
+  double tr[3] = {0, 0, 0};
+  std::vector<float> warped(size_t(n_src) * 3);
+
+  int it = 0;
+  for (; it < max_iter; it++) {
+    // Transform src.
+    for (int64_t i = 0; i < n_src; i++) {
+      const float* p = src + 3 * i;
+      for (int r = 0; r < 3; r++)
+        warped[3 * i + r] = float(rot[r][0] * p[0] + rot[r][1] * p[1] +
+                                  rot[r][2] * p[2] + tr[r]);
+    }
+    // Accumulate point-to-plane normal equations (one GN iteration per
+    // correspondence pass, as the reference default).
+    double ata[6][6] = {}, atb[6] = {};
+    int64_t n_corr = 0;
+    for (int64_t i = 0; i < n_src; i++) {
+      const float* s = &warped[3 * i];
+      float d2;
+      int j = tree.nn(s, max_corr_dist_sq, &d2);
+      if (j < 0) continue;
+      const float* d = dst + 3 * j;
+      const float* n = dst_normals + 3 * j;
+      // J = [(s x n); n], r = n . (s - d)
+      double jrow[6] = {
+          double(s[1]) * n[2] - double(s[2]) * n[1],
+          double(s[2]) * n[0] - double(s[0]) * n[2],
+          double(s[0]) * n[1] - double(s[1]) * n[0],
+          n[0], n[1], n[2]};
+      double r = double(n[0]) * (s[0] - d[0]) + double(n[1]) * (s[1] - d[1]) +
+                 double(n[2]) * (s[2] - d[2]);
+      for (int a = 0; a < 6; a++) {
+        atb[a] -= jrow[a] * r;
+        for (int b = a; b < 6; b++) ata[a][b] += jrow[a] * jrow[b];
+      }
+      n_corr++;
+    }
+    if (n_corr < 6) return -2;
+    for (int a = 0; a < 6; a++)
+      for (int b = 0; b < a; b++) ata[a][b] = ata[b][a];
+    for (int a = 0; a < 6; a++) ata[a][a] += 1e-9;
+    double x[6];
+    if (!chol_solve6(ata, atb, x)) return -3;
+
+    // Update: R(atan||w||) then t (reference update convention).
+    double na = std::sqrt(x[0] * x[0] + x[1] * x[1] + x[2] * x[2]);
+    double scale = na > 1e-12 ? std::atan(na) / na : 1.0;
+    double w[3] = {x[0] * scale, x[1] * scale, x[2] * scale};
+    double dr[3][3];
+    axis_angle_rot(w, dr);
+    double new_rot[3][3];
+    mat_mul3(dr, rot, new_rot);
+    std::memcpy(rot, new_rot, sizeof(rot));
+    for (int r = 0; r < 3; r++)
+      tr[r] = dr[r][0] * tr[0] + dr[r][1] * tr[1] + dr[r][2] * tr[2] + x[3 + r];
+    double step = 0;
+    for (int a = 0; a < 6; a++) step += x[a] * x[a];
+    if (std::sqrt(step) < conv_tol) {
+      it++;
+      break;
+    }
+  }
+
+  for (int r = 0; r < 3; r++) {
+    for (int c = 0; c < 3; c++) out_transform[4 * r + c] = float(rot[r][c]);
+    out_transform[4 * r + 3] = float(tr[r]);
+  }
+  auto t1 = std::chrono::steady_clock::now();
+  *out_ms = std::chrono::duration<double, std::milli>(t1 - t0).count();
+  return it;
+}
+
+}  // extern "C"

@@ -100,3 +100,47 @@ def test_native_binary_truncated(tmp_path, rng):
         f.write(data[:-20])
     with pytest.raises(ValueError):
         ply_read_native(p)
+
+
+def test_baseline_icp_recovers_transform(rng):
+    """Compiled single-core ICP recovers a known small rigid transform on a
+    synthetic surface (the distort-and-recover recipe of rigid_icp.cpp)."""
+    from cilantro_tpu.native import baseline_icp_native
+
+    if baseline_icp_native(
+        np.zeros((10, 3), np.float32),
+        np.zeros((10, 3), np.float32),
+        np.zeros((10, 3), np.float32),
+        max_iterations=0,
+    ) is None:
+        pytest.skip("no C++ toolchain")
+
+    n = 5000
+    xy = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+    z = 0.3 * np.sin(2.0 * xy[:, 0]) * np.cos(1.5 * xy[:, 1])
+    dst = np.column_stack([xy, z]).astype(np.float32)
+    # Analytic normals of z = f(x, y): (-df/dx, -df/dy, 1)/norm.
+    dzdx = 0.6 * np.cos(2.0 * xy[:, 0]) * np.cos(1.5 * xy[:, 1])
+    dzdy = -0.45 * np.sin(2.0 * xy[:, 0]) * np.sin(1.5 * xy[:, 1])
+    nrm = np.column_stack([-dzdx, -dzdy, np.ones(n)]).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+
+    ang = 0.02
+    r_true = np.array(
+        [
+            [np.cos(ang), -np.sin(ang), 0],
+            [np.sin(ang), np.cos(ang), 0],
+            [0, 0, 1],
+        ],
+        np.float32,
+    )
+    t_true = np.array([0.008, -0.005, 0.004], np.float32)
+    src = (dst - t_true) @ r_true  # inverse transform applied to dst
+
+    tf, iters, ms = baseline_icp_native(
+        src, dst, nrm, max_iterations=30, max_corr_dist_sq=0.01,
+        convergence_tol=1e-6,
+    )
+    assert iters > 0 and ms > 0
+    assert np.abs(tf[:, :3] - r_true).max() < 2e-3
+    assert np.abs(tf[:, 3] - t_true).max() < 2e-3
