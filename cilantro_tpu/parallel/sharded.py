@@ -200,6 +200,103 @@ def sharded_combined_icp(
     return shard(src_points, src_valid, dst_points, dst_normals, dst_valid)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "max_iterations",
+        "max_corr_dist_sq",
+        "point_weight",
+        "plane_weight",
+        "convergence_tol",
+    ),
+)
+def sharded_combined_icp_ring(
+    src_points: jax.Array,  # (N, 3) sharded over 'points'
+    src_valid: jax.Array,
+    dst_points: jax.Array,  # (M, 3) sharded over 'points'
+    dst_normals: jax.Array,
+    dst_valid: jax.Array,
+    *,
+    mesh: Mesh,
+    max_iterations: int = 15,
+    convergence_tol: float = 1e-5,
+    max_corr_dist_sq: float = 0.0001,
+    point_weight: float = 0.0,
+    plane_weight: float = 1.0,
+) -> Tuple[Transform, jax.Array]:
+    """Large-map rigid ICP: BOTH clouds shard over the ``points`` axis and no
+    device ever materializes more than one shard of either — the
+    :func:`ring_nn1` rotation replaces the all_gather k=1 tournament of
+    :func:`sharded_combined_icp` (whose gathered candidate block grows with
+    the mesh). Memory per device: O(N/D + M/D); communication per iteration:
+    D ``ppermute`` hops of the query block + one 6×6 ``psum``.
+    """
+    axis = "points"
+    nshards = mesh.shape[axis]
+
+    def step_program(src, sv, dst, dn, dv):
+        payload = jnp.concatenate([dst, dn], axis=1)  # (M/D, 6)
+
+        def body(carry):
+            tf, _, it = carry
+            s = tf.apply(src)
+            best_d, best_p = _ring_nn1_program(
+                s, sv, dst, payload, dv, axis, nshards
+            )
+            w = (sv & (best_d <= max_corr_dist_sq)).astype(s.dtype)
+            jtj, jtr = _gn_accumulate_3d(
+                s,
+                best_p[:, :3],
+                best_p[:, 3:],
+                w * point_weight,
+                w * plane_weight,
+            )
+            jtj = jax.lax.psum(jtj, axis)
+            jtr = jax.lax.psum(jtr, axis)
+            step = _solve_normal_equations(jtj, jtr, 6)
+            omega, t = step[:3], step[3:]
+            theta = jnp.linalg.norm(omega)
+            scale = jnp.where(
+                theta > _EPS, jnp.arctan(theta) / jnp.maximum(theta, _EPS), 1.0
+            )
+            delta = Transform(axis_angle_to_rotation(omega * scale), t)
+            new_tf = reproject_rigid(compose(delta, tf))
+            return new_tf, _delta_norm(delta), it + 1
+
+        def cond(carry):
+            _, dn_, it = carry
+            return (it < max_iterations) & (dn_ >= convergence_tol)
+
+        init = (
+            identity(3, dtype=src.dtype),
+            jnp.array(jnp.inf, src.dtype),
+            jnp.array(0, jnp.int32),
+        )
+        tf, _, iters = jax.lax.while_loop(cond, body, init)
+        return tf, iters
+
+    shard = jax.shard_map(
+        step_program,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None),
+            P(axis),
+            P(axis, None),
+            P(axis, None),
+            P(axis),
+        ),
+        out_specs=(
+            jax.tree_util.tree_map(
+                lambda _: P(), Transform(jnp.eye(3), jnp.zeros(3))
+            ),
+            P(),
+        ),
+        check_vma=False,
+    )
+    return shard(src_points, src_valid, dst_points, dst_normals, dst_valid)
+
+
 def shard_cloud_arrays(mesh: Mesh, axis: str, *arrays):
     """Place arrays with their leading dim sharded over ``axis`` (pads are the
     caller's responsibility; capacities must divide the axis size)."""
@@ -213,6 +310,25 @@ def shard_cloud_arrays(mesh: Mesh, axis: str, *arrays):
 # ---------------------------------------------------------------------------
 # Ring-rotation NN: the ring-attention analogue for neighbor search.
 # ---------------------------------------------------------------------------
+
+
+def _ring_nn1_program(q, qv, mp, pay, mv, axis: str, nshards: int):
+    """Ring NN body, usable inside any ``shard_map`` over ``axis`` (the ICP
+    large-map mode embeds it in its iteration loop)."""
+    best_d = jnp.full((q.shape[0],), INVALID_DIST)
+    best_p = jnp.zeros((q.shape[0], pay.shape[1]), pay.dtype)
+    carry = (q, best_d, best_p)
+    perm = [(i, (i + 1) % nshards) for i in range(nshards)]
+    for _ in range(nshards):
+        qb, bd, bp = carry
+        d_loc, p_loc = _local_nn_payload(qb, mp, pay, mv)
+        better = d_loc < bd
+        bd = jnp.where(better, d_loc, bd)
+        bp = jnp.where(better[:, None], p_loc, bp)
+        carry = jax.lax.ppermute((qb, bd, bp), axis, perm)
+    _, bd, bp = carry
+    bd = jnp.where(qv, bd, INVALID_DIST)
+    return bd, bp
 
 
 @partial(jax.jit, static_argnames=("mesh",))
@@ -238,23 +354,7 @@ def ring_nn1(
     nshards = mesh.shape[axis]
 
     def program(q, qv, mp, pay, mv):
-        def local_best(qblock):
-            return _local_nn_payload(qblock, mp, pay, mv)
-
-        best_d = jnp.full((q.shape[0],), INVALID_DIST)
-        best_p = jnp.zeros((q.shape[0], pay.shape[1]), pay.dtype)
-        carry = (q, best_d, best_p)
-        perm = [(i, (i + 1) % nshards) for i in range(nshards)]
-        for _ in range(nshards):
-            qb, bd, bp = carry
-            d_loc, p_loc = local_best(qb)
-            better = d_loc < bd
-            bd = jnp.where(better, d_loc, bd)
-            bp = jnp.where(better[:, None], p_loc, bp)
-            carry = jax.lax.ppermute((qb, bd, bp), axis, perm)
-        _, bd, bp = carry
-        bd = jnp.where(qv, bd, INVALID_DIST)
-        return bd, bp
+        return _ring_nn1_program(q, qv, mp, pay, mv, axis, nshards)
 
     return jax.shard_map(
         program,

@@ -267,50 +267,31 @@ def localize(
     return new_pose, res
 
 
-@partial(jax.jit, static_argnames=("height", "width", "cfg"))
-def integrate_frame_with_imap(
-    fmap: FusionMap,
-    frame_points: jax.Array,  # (H·W, 3) organized, camera frame
+def _classify_and_build_rows(
+    mrows: jax.Array,  # (H·W, 16) model row per pixel (0 where no hit)
+    m_ok: jax.Array,  # (H·W,) model hit mask
+    mdepth_flat: jax.Array,  # (H·W,) model depth per pixel
+    frame_points: jax.Array,
     frame_normals: jax.Array,
-    frame_colors: Optional[jax.Array],
     frame_valid: jax.Array,
-    pose: Transform,  # camera-to-world
+    frame_colors: Optional[jax.Array],
+    pose: Transform,
+    cam_from_world: Transform,
     intrinsics: CameraIntrinsics,
-    *,
     height: int,
     width: int,
-    cfg: FusionConfig = FusionConfig(),
-) -> FusionMap:
-    """Fuse / augment / carve one organized frame into the model
-    (``fusion.cpp:148-238``). Returns ``(map, index_map)`` — the render at
-    ``pose`` doubles as the next frame's localize target."""
-    cam_from_world = inverse(pose)
-    model_cam = cam_from_world.apply(fmap.points)
+    cfg: FusionConfig,
+):
+    """Per-pixel fuse/augment/carve classification + update-row construction
+    (``fusion.cpp:172-226``) — shared by the single-device and the
+    map-sharded integrators (the sharded one builds ``mrows`` via a psum of
+    per-shard contributions instead of a local gather).
 
-    # Model index map in the new camera (one winner per pixel).
-    imap, mdepth = _zbuffer_winner(
-        model_cam, fmap.valid, intrinsics, height, width
-    )
-    imap_flat = imap.reshape(-1)  # (H·W,) model index or -1
-    mdepth_flat = mdepth.reshape(-1)
-
-    # The frame is organized: pixel p ↔ frame point p (the reference z-buffers
-    # the frame too, fusion.cpp:158, which is near-identity for organized
-    # input; the identity shortcut is the static-shape redesign).
+    Returns ``(do_fuse, do_augment, do_carve, fuse_rows, aug_rows,
+    carve_row)``.
+    """
     fd = frame_points[:, 2]
     f_ok = frame_valid & (fd > 0)
-    m_ok = imap_flat >= 0
-    m_idx = jnp.where(m_ok, imap_flat, 0)
-
-    # ONE pool gather serves every per-pixel model read below; the camera
-    # transform of normals runs on the gathered H·W rows, not the capacity.
-    mrows = jnp.where(m_ok[:, None], fmap.data[m_idx], 0.0)
-    m_pts_w = mrows[:, 0:3]
-    m_nrm_w = mrows[:, 3:6]
-    m_cols = mrows[:, 6:9]
-    c_old = mrows[:, 9]
-    m_pts_cam = cam_from_world.apply(m_pts_w)
-    model_nrm_cam_px = cam_from_world.apply_normals(m_nrm_w)
 
     # Interior pixels only (fusion.cpp:172-173 loops y,x in 1..h-2/1..w-2).
     pix = jnp.arange(height * width, dtype=jnp.int32)
@@ -322,6 +303,13 @@ def integrate_frame_with_imap(
     )
 
     radial = radial_weights(height, width, intrinsics, cfg.radial_sigma_px)
+
+    m_pts_w = mrows[:, 0:3]
+    m_nrm_w = mrows[:, 3:6]
+    m_cols = mrows[:, 6:9]
+    c_old = mrows[:, 9]
+    m_pts_cam = cam_from_world.apply(m_pts_w)
+    model_nrm_cam_px = cam_from_world.apply_normals(m_nrm_w)
 
     ncos = jnp.sum(frame_normals * model_nrm_cam_px, axis=-1)
     depth_diff = fd - mdepth_flat
@@ -363,11 +351,9 @@ def integrate_frame_with_imap(
         & (view_cos > cfg.carve_view_cos)
     )
 
-    # --- build the per-pixel update rows ---------------------------------
     # fuse: radial-confidence blend w = radial/(radial + conf)
     # (fusion.cpp:194-203); augment: fresh row with confidence = radial
-    # (fusion.cpp:215); carve: dead row (points parked at 1e30 so renders
-    # skip it). One row select → ONE combined scatter below.
+    # (fusion.cpp:215); carve: dead row (points parked at 1e30).
     pts_w = pose.apply(frame_points)
     nrm_w = pose.apply_normals(frame_normals)
     cols = (
@@ -375,13 +361,14 @@ def integrate_frame_with_imap(
         if frame_colors is not None
         else jnp.zeros_like(frame_points)
     )
-    npix = m_idx.shape[0]
+    npix = mrows.shape[0]
     w_f = radial / jnp.maximum(radial + c_old, 1e-30)
     fused_nrm = m_nrm_w * (1.0 - w_f[:, None]) + nrm_w * w_f[:, None]
     fused_nrm = fused_nrm / jnp.maximum(
         jnp.linalg.norm(fused_nrm, axis=-1, keepdims=True), 1e-30
     )
     one = jnp.ones((npix, 1), jnp.float32)
+    zeros_tail = jnp.zeros((npix, _MAP_WIDTH - 11), jnp.float32)
     fuse_rows = jnp.concatenate(
         [
             m_pts_w * (1.0 - w_f[:, None]) + pts_w * w_f[:, None],
@@ -389,22 +376,77 @@ def integrate_frame_with_imap(
             m_cols * (1.0 - w_f[:, None]) + cols * w_f[:, None],
             (c_old + w_f)[:, None],
             one,
-            jnp.zeros((npix, _MAP_WIDTH - 11), jnp.float32),
+            zeros_tail,
         ],
         axis=1,
     )
     aug_rows = jnp.concatenate(
-        [
-            pts_w,
-            nrm_w,
-            cols,
-            radial[:, None],
-            one,
-            jnp.zeros((npix, _MAP_WIDTH - 11), jnp.float32),
-        ],
-        axis=1,
+        [pts_w, nrm_w, cols, radial[:, None], one, zeros_tail], axis=1
     )
     carve_row = jnp.zeros((_MAP_WIDTH,), jnp.float32).at[0:3].set(1e30)
+    return do_fuse, do_augment, do_carve, fuse_rows, aug_rows, carve_row
+
+
+@partial(jax.jit, static_argnames=("height", "width", "cfg"))
+def integrate_frame_with_imap(
+    fmap: FusionMap,
+    frame_points: jax.Array,  # (H·W, 3) organized, camera frame
+    frame_normals: jax.Array,
+    frame_colors: Optional[jax.Array],
+    frame_valid: jax.Array,
+    pose: Transform,  # camera-to-world
+    intrinsics: CameraIntrinsics,
+    *,
+    height: int,
+    width: int,
+    cfg: FusionConfig = FusionConfig(),
+) -> FusionMap:
+    """Fuse / augment / carve one organized frame into the model
+    (``fusion.cpp:148-238``). Returns ``(map, index_map)`` — the render at
+    ``pose`` doubles as the next frame's localize target."""
+    cam_from_world = inverse(pose)
+    model_cam = cam_from_world.apply(fmap.points)
+
+    # Model index map in the new camera (one winner per pixel).
+    imap, mdepth = _zbuffer_winner(
+        model_cam, fmap.valid, intrinsics, height, width
+    )
+    imap_flat = imap.reshape(-1)  # (H·W,) model index or -1
+    mdepth_flat = mdepth.reshape(-1)
+
+    # The frame is organized: pixel p ↔ frame point p (the reference z-buffers
+    # the frame too, fusion.cpp:158, which is near-identity for organized
+    # input; the identity shortcut is the static-shape redesign).
+    m_ok = imap_flat >= 0
+    m_idx = jnp.where(m_ok, imap_flat, 0)
+
+    # ONE pool gather serves every per-pixel model read below; the camera
+    # transform of normals runs on the gathered H·W rows, not the capacity.
+    mrows = jnp.where(m_ok[:, None], fmap.data[m_idx], 0.0)
+
+    (
+        do_fuse,
+        do_augment,
+        do_carve,
+        fuse_rows,
+        aug_rows,
+        carve_row,
+    ) = _classify_and_build_rows(
+        mrows,
+        m_ok,
+        mdepth_flat,
+        frame_points,
+        frame_normals,
+        frame_valid,
+        frame_colors,
+        pose,
+        cam_from_world,
+        intrinsics,
+        height,
+        width,
+        cfg,
+    )
+    npix = m_idx.shape[0]
 
     # --- free-slot assignment for augments -------------------------------
     # rank→slot built with one unique-index scatter (ranks of free slots are
