@@ -202,36 +202,45 @@ def _zbuffer_winner(
     u, v, z = project_points(points, intrinsics)
     ok = valid & (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
     pix = jnp.where(ok, v * w + u, h * w)  # dump bucket sorts last
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # Winner index + exact depth travel WITH the sort as variadic payloads
+    # (one fused XLA sort) — TPU gathers/scatters are latency-bound per op,
+    # so the argsort → payload-gather → two-scatter choreography costs far
+    # more than the sort itself; this shape is one sort + one scatter.
     if h * w <= (1 << 19):
-        # Pack (pixel, quantized z) into ONE int32 sort key: a single sort
-        # pass instead of lexsort's three. z is quantized to 12 bits over the
-        # dynamic valid range (≤ z_max/4096 buckets — ~1 mm at Kinect range);
-        # only the winner *selection* among same-pixel points closer than one
-        # bucket is affected; stored depths stay exact.
+        # Pack (pixel, quantized z) into ONE int32 sort key. z is quantized
+        # to 12 bits over the dynamic valid range (≤ z_max/4096 buckets —
+        # ~1 mm at Kinect range); only the winner *selection* among
+        # same-pixel points closer than one bucket is affected; stored
+        # depths stay exact.
         z_max = jnp.max(jnp.where(ok, z, 0.0)) + 1e-6
         zq = jnp.clip(z * (4096.0 / z_max), 0, 4095).astype(jnp.int32)
         key = jnp.where(ok, (pix << 12) | zq, jnp.int32(2**31 - 1))
-        order = jnp.argsort(key).astype(jnp.int32)
+        key_s, idx_s, z_s = jax.lax.sort((key, idx, z), num_keys=1)
+        pix_s = jnp.where(key_s == jnp.int32(2**31 - 1), h * w, key_s >> 12)
     else:
-        idx = jnp.arange(n, dtype=jnp.int32)
-        order = jnp.lexsort((idx, z, pix)).astype(jnp.int32)
-    pix_s = pix[order]
+        pix_s, _, idx_s, z_s = jax.lax.sort((pix, z, idx, z), num_keys=3)
     first = jnp.concatenate([jnp.ones(1, bool), pix_s[1:] != pix_s[:-1]])
     win = first & (pix_s < h * w)
     # Non-winners target h*w — out of bounds for the (h*w,) image, so
-    # mode="drop" discards them and the surviving indices are unique.
+    # mode="drop" discards them and the surviving indices are unique. Index
+    # and depth land in ONE packed 2-channel scatter (index bitcast to f32).
     tgt = jnp.where(win, pix_s, h * w)
-    index_map = (
-        jnp.full((h * w,), -1, jnp.int32)
-        .at[tgt]
-        .set(order.astype(jnp.int32), mode="drop", unique_indices=True)
+    rows = jnp.stack(
+        [jax.lax.bitcast_convert_type(idx_s, jnp.float32), z_s], axis=1
     )
-    depth_map = (
-        jnp.zeros((h * w,))
-        .at[tgt]
-        .set(z[order], mode="drop", unique_indices=True)
+    init = jnp.tile(
+        jnp.array(
+            [
+                jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32),
+                jnp.float32(0.0),
+            ]
+        )[None, :],
+        (h * w, 1),
     )
-    return index_map.reshape(h, w), depth_map.reshape(h, w)
+    img = init.at[tgt].set(rows, mode="drop", unique_indices=True)
+    index_map = jax.lax.bitcast_convert_type(img[:, 0], jnp.int32)
+    return index_map.reshape(h, w), img[:, 1].reshape(h, w)
 
 
 @partial(jax.jit, static_argnames=("h", "w"))
