@@ -36,3 +36,4 @@ from .rgbd import (  # noqa: F401
     points_to_depth_image,
     cloud_to_rgbd,
 )
+from . import pair_evaluators  # noqa: F401

@@ -225,22 +225,18 @@ def _zbuffer_winner(
     # Non-winners target h*w — out of bounds for the (h*w,) image, so
     # mode="drop" discards them and the surviving indices are unique. Index
     # and depth land in ONE packed 2-channel scatter (index bitcast to f32).
+    # The packed image is int32 (index | depth-bits): bitcasting COMPUTED
+    # depths is safe (only NaN payloads are at canonicalization risk, and a
+    # -1 sentinel bitcast to f32 would be exactly such a NaN — TPU constant
+    # folding rewrites its payload and the sentinel stops decoding as -1).
     tgt = jnp.where(win, pix_s, h * w)
     rows = jnp.stack(
-        [jax.lax.bitcast_convert_type(idx_s, jnp.float32), z_s], axis=1
+        [idx_s, jax.lax.bitcast_convert_type(z_s, jnp.int32)], axis=1
     )
-    init = jnp.tile(
-        jnp.array(
-            [
-                jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32),
-                jnp.float32(0.0),
-            ]
-        )[None, :],
-        (h * w, 1),
-    )
+    init = jnp.tile(jnp.array([-1, 0], jnp.int32)[None, :], (h * w, 1))
     img = init.at[tgt].set(rows, mode="drop", unique_indices=True)
-    index_map = jax.lax.bitcast_convert_type(img[:, 0], jnp.int32)
-    return index_map.reshape(h, w), img[:, 1].reshape(h, w)
+    depth_map = jax.lax.bitcast_convert_type(img[:, 1], jnp.float32)
+    return img[:, 0].reshape(h, w), depth_map.reshape(h, w)
 
 
 @partial(jax.jit, static_argnames=("h", "w"))

@@ -127,7 +127,7 @@ def radius_search_grid(
     query_valid: Optional[jax.Array] = None,
     key_valid: Optional[jax.Array] = None,
     tile: int = 256,
-    max_key_tiles: int = 16,
+    max_key_tiles: int = 32,
     exclude_self: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Radius-bounded NN (closest ``max_results`` kept, squared-L2 sorted).

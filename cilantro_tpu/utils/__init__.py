@@ -20,3 +20,4 @@ from .io import (  # noqa: F401
     write_matrix_raw,
 )
 from .timer import Timer, time_blocked  # noqa: F401
+from . import profiling  # noqa: F401

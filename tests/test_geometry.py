@@ -210,3 +210,43 @@ def test_grid_downsample_capacity_unbiased(rng):
     # selection keeps bins across the whole [0, 6.4) extent.
     assert kept[:, 0].max() > 4.0
     assert kept[:, 0].min() < 2.0
+
+
+def test_pair_evaluators(rng):
+    """Vectorized functor library vs hand-computed gates
+    (common_pair_evaluators.hpp:14-259)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cilantro_tpu.core import pair_evaluators as pe
+
+    n = 50
+    pts = rng.standard_normal((n, 3)).astype(np.float32)
+    nrm = rng.standard_normal((n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    i = jnp.asarray(rng.integers(0, n, 30))
+    j = jnp.asarray(rng.integers(0, n, 30))
+    d = jnp.sum((jnp.asarray(pts)[i] - jnp.asarray(pts)[j]) ** 2, axis=-1)
+
+    w = pe.rbf_kernel_weight(0.5)(i, j, d)
+    np.testing.assert_allclose(
+        np.asarray(w), np.exp(-np.asarray(d) / (2 * 0.25)), rtol=1e-5
+    )
+    assert np.array_equal(
+        np.asarray(pe.points_proximity(0.5)(i, j, d)), np.asarray(d) < 0.5
+    )
+    ang = np.arccos(
+        np.clip((nrm[np.asarray(i)] * nrm[np.asarray(j)]).sum(-1), -1, 1)
+    )
+    got = np.asarray(pe.normals_proximity(jnp.asarray(nrm), 0.5)(i, j, d))
+    assert np.array_equal(got, ang < 0.5)
+    # Two-sided (negative threshold): orientation-invariant.
+    got2 = np.asarray(pe.normals_proximity(jnp.asarray(nrm), -0.5)(i, j, d))
+    assert np.array_equal(got2, np.minimum(ang, np.pi - ang) < 0.5)
+    full = pe.points_normals_colors_proximity(
+        jnp.asarray(nrm), jnp.asarray(cols), 0.5, 0.5, 0.2
+    )
+    cd = ((cols[np.asarray(i)] - cols[np.asarray(j)]) ** 2).sum(-1)
+    expect = (np.asarray(d) < 0.5) & (ang < 0.5) & (cd < 0.04)
+    assert np.array_equal(np.asarray(full(i, j, d)), expect)
