@@ -201,51 +201,50 @@ def _zbuffer_winner(
     n = points.shape[0]
     u, v, z = project_points(points, intrinsics)
     ok = valid & (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    if n <= (1 << 20):
-        # ONE duplicate-index scatter-min of a packed (quantized-z | index)
-        # key — measured ~4× faster than any sort-based formulation on TPU
-        # (9.7 ms vs 28.9 ms at 614k points; 100% winner agreement). z is
-        # quantized to the bits left above the index (≥ 11 → ≤ z_max/2048
-        # buckets, ~1.5 mm at Kinect range); only winner selection among
-        # same-pixel points inside one bucket is affected (tie → smallest
-        # index, as the sort path), and stored depths are exact (gathered
-        # from the winner).
-        idx_bits = max(n - 1, 1).bit_length()
-        z_bits = 31 - idx_bits
-        levels = float(1 << z_bits)
-        pix = jnp.where(ok, v * w + u, 0)
-        z_max = jnp.max(jnp.where(ok, z, 0.0)) + 1e-6
-        zq = jnp.clip(z * (levels / z_max), 0, levels - 1).astype(jnp.int32)
-        key = jnp.where(ok, (zq << idx_bits) | idx, jnp.int32(2**31 - 1))
-        tgt = jnp.where(ok, pix, h * w)
-        img = (
-            jnp.full((h * w,), jnp.int32(2**31 - 1))
-            .at[tgt]
-            .min(key, mode="drop")
-        )
-        has = img != jnp.int32(2**31 - 1)
-        widx = jnp.where(has, img & ((1 << idx_bits) - 1), -1)
-        depth = jnp.where(has, z[jnp.where(has, widx, 0)], 0.0)
-        return widx.reshape(h, w), depth.reshape(h, w)
+    # Duplicate-index scatter-min of a packed (quantized-z | index) key —
+    # measured ~4× faster than any sort-based formulation on TPU (9.7 ms vs
+    # 28.9 ms at 614k points; 100% winner agreement). z is quantized to the
+    # bits above the index (≥ 11 → ≤ z_max/2048 buckets, ~1.5 mm at Kinect
+    # range); only winner selection among same-pixel points inside one
+    # bucket is affected (ties → smallest index within the winning group),
+    # and stored depths are exact (gathered from the winner). Capacities
+    # beyond 2^20 split into groups with their own scatter-min, combined by
+    # an elementwise key min over the (h·w,) group images — row work is
+    # unchanged and the combine is negligible.
+    group = 1 << 20
+    n_groups = (n + group - 1) // group
+    idx_bits = min(max(n - 1, 1).bit_length(), 20)
+    levels = float(1 << (31 - idx_bits))
+    pix = jnp.where(ok, v * w + u, 0)
+    z_max = jnp.max(jnp.where(ok, z, 0.0)) + 1e-6
+    zq = jnp.clip(z * (levels / z_max), 0, levels - 1).astype(jnp.int32)
+    tgt_all = jnp.where(ok, pix, h * w)
+    inval = jnp.int32(2**31 - 1)
 
-    # Large-capacity fallback: variadic sort carrying index+depth payloads,
-    # then one unique-index scatter of the per-pixel-run winners.
-    pix = jnp.where(ok, v * w + u, h * w)  # dump bucket sorts last
-    pix_s, _, idx_s, z_s = jax.lax.sort((pix, z, idx, z), num_keys=3)
-    first = jnp.concatenate([jnp.ones(1, bool), pix_s[1:] != pix_s[:-1]])
-    win = first & (pix_s < h * w)
-    tgt = jnp.where(win, pix_s, h * w)
-    # int32 packed image; bitcasting COMPUTED depths is safe (only NaN
-    # payloads risk TPU canonicalization, and -1 bitcast to f32 would be
-    # exactly such a NaN).
-    rows = jnp.stack(
-        [idx_s, jax.lax.bitcast_convert_type(z_s, jnp.int32)], axis=1
+    best_key = None
+    best_group = None
+    for g in range(n_groups):
+        lo, hi = g * group, min((g + 1) * group, n)
+        local_idx = jnp.arange(hi - lo, dtype=jnp.int32)
+        key = jnp.where(
+            ok[lo:hi], (zq[lo:hi] << idx_bits) | local_idx, inval
+        )
+        img = (
+            jnp.full((h * w,), inval).at[tgt_all[lo:hi]].min(key, mode="drop")
+        )
+        if best_key is None:
+            best_key, best_group = img, jnp.zeros_like(img)
+        else:
+            better = img < best_key
+            best_key = jnp.where(better, img, best_key)
+            best_group = jnp.where(better, jnp.int32(g), best_group)
+
+    has = best_key != inval
+    widx = jnp.where(
+        has, (best_key & ((1 << idx_bits) - 1)) + best_group * group, -1
     )
-    init = jnp.tile(jnp.array([-1, 0], jnp.int32)[None, :], (h * w, 1))
-    img = init.at[tgt].set(rows, mode="drop", unique_indices=True)
-    depth_map = jax.lax.bitcast_convert_type(img[:, 1], jnp.float32)
-    return img[:, 0].reshape(h, w), depth_map.reshape(h, w)
+    depth = jnp.where(has, z[jnp.where(has, widx, 0)], 0.0)
+    return widx.reshape(h, w), depth.reshape(h, w)
 
 
 @partial(jax.jit, static_argnames=("h", "w"))

@@ -132,6 +132,12 @@ class FusionConfig:
     # trick; 2 → 4x fewer correspondences). Integration always uses the full
     # frame; accuracy is guarded by the ATE checks.
     localize_stride: int = 1
+    # Augment slot allocation. False (default): append to the virgin tail —
+    # one max-reduction instead of a capacity-sized prefix-sum + scatter
+    # (~10-20 ms/frame at mapping capacities); carved holes are reclaimed
+    # only by host-side compaction (cleanup_map / checkpoint reload). True:
+    # reuse free slots anywhere, exactly (the round-1 machinery).
+    reuse_carved_slots: bool = False
 
 
 def radial_weights(
@@ -449,23 +455,37 @@ def integrate_frame_with_imap(
     npix = m_idx.shape[0]
 
     # --- free-slot assignment for augments -------------------------------
-    # rank→slot built with one unique-index scatter (ranks of free slots are
-    # distinct), avoiding a capacity-sized sort per frame. Carved slots
-    # become reusable from the NEXT frame (their rows are written this
-    # frame, so they cannot double as augment targets).
-    valid = fmap.valid
-    free = ~valid
-    rank_of_slot = jnp.cumsum(free.astype(jnp.int32)) - 1
-    cap_ids = jnp.arange(fmap.capacity, dtype=jnp.int32)
-    slot_of_rank = (
-        jnp.zeros((fmap.capacity,), jnp.int32)
-        .at[jnp.where(free, rank_of_slot, fmap.capacity)]
-        .set(cap_ids, mode="drop", unique_indices=True)
-    )
-    num_free = jnp.sum(free)
     aug_rank = jnp.cumsum(do_augment.astype(jnp.int32)) - 1  # per pixel
-    aug_slot = slot_of_rank[jnp.clip(aug_rank, 0, fmap.capacity - 1)]
-    aug_ok = do_augment & (aug_rank < num_free)
+    if cfg.reuse_carved_slots:
+        # Exact: rank→slot built with one unique-index scatter (ranks of
+        # free slots are distinct), avoiding a capacity-sized sort per
+        # frame. Carved slots become reusable from the NEXT frame (their
+        # rows are written this frame, so they cannot double as augment
+        # targets).
+        valid = fmap.valid
+        free = ~valid
+        rank_of_slot = jnp.cumsum(free.astype(jnp.int32)) - 1
+        cap_ids = jnp.arange(fmap.capacity, dtype=jnp.int32)
+        slot_of_rank = (
+            jnp.zeros((fmap.capacity,), jnp.int32)
+            .at[jnp.where(free, rank_of_slot, fmap.capacity)]
+            .set(cap_ids, mode="drop", unique_indices=True)
+        )
+        num_free = jnp.sum(free)
+        aug_slot = slot_of_rank[jnp.clip(aug_rank, 0, fmap.capacity - 1)]
+        aug_ok = do_augment & (aug_rank < num_free)
+    else:
+        # Tail append: every slot past the highest valid one is free by
+        # construction (carve targets are valid slots, so they stay below
+        # the tail and cannot collide with augments this frame). One cheap
+        # max-reduction replaces the capacity-sized machinery.
+        cap_ids = jnp.arange(fmap.capacity, dtype=jnp.int32)
+        tail_start = (
+            jnp.max(jnp.where(fmap.valid, cap_ids, -1)) + 1
+        ).astype(jnp.int32)
+        aug_slot = tail_start + aug_rank
+        aug_ok = do_augment & (aug_slot < fmap.capacity)
+        aug_slot = jnp.clip(aug_slot, 0, fmap.capacity - 1)
 
     # --- ONE combined scatter --------------------------------------------
     # Targets are unique: each model point wins ≤ 1 pixel (fuse/carve hit

@@ -189,3 +189,40 @@ class TestFusion:
         )
         n1 = int(fmap2.num_points())
         assert n1 == n0  # hole not re-augmented (neighbors occupied)
+
+    def test_reuse_carved_slots_mode(self):
+        """The exact free-slot machinery (reuse_carved_slots=True) reclaims
+        holes; the default tail allocator appends past the highest slot."""
+        pts, nrm, valid = frame_from_depth(wavy_depth())
+        cfg_exact = FusionConfig(reuse_carved_slots=True)
+        fmap = init_map_from_frame(H * W * 2, pts, nrm, None, valid)
+        # Punch holes: invalidate 100 early slots.
+        v = np.asarray(fmap.valid).copy()
+        holes = np.flatnonzero(v)[:100]
+        v[holes] = False
+        fmap = fmap.replace_fields(valid=jnp.asarray(v))
+        # A frame with fresh geometry on the right (augments).
+        d2 = wavy_depth(phase=0.5)
+        pts2, nrm2, v2 = frame_from_depth(d2)
+        fm_exact = integrate_frame(
+            fmap, pts2, nrm2, None, v2,
+            Transform(jnp.eye(3), jnp.zeros(3)), K, height=H, width=W,
+            cfg=cfg_exact,
+        )
+        fm_tail = integrate_frame(
+            fmap, pts2, nrm2, None, v2,
+            Transform(jnp.eye(3), jnp.zeros(3)), K, height=H, width=W,
+        )
+        v_old = np.asarray(fmap.valid)
+        v_exact = np.asarray(fm_exact.valid)
+        v_tail = np.asarray(fm_tail.valid)
+        new_exact = np.flatnonzero(v_exact & ~v_old)
+        new_tail = np.flatnonzero(v_tail & ~v_old)
+        assert len(new_exact) > 0 and len(new_tail) > 0  # augments happened
+        top_old = np.flatnonzero(v_old).max()
+        # Tail mode appends strictly past the highest valid slot; exact mode
+        # reclaims free slots below it first.
+        assert (new_tail > top_old).all()
+        assert (new_exact < top_old).any()
+        # Same number of surviving+new points in both modes.
+        assert abs(int(v_exact.sum()) - int(v_tail.sum())) <= 100

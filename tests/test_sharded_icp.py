@@ -70,3 +70,42 @@ def test_ring_nn1_matches_local(rng):
     np.testing.assert_allclose(
         np.asarray(p_ring)[:, :3], keys[np.asarray(i_ref)], atol=1e-6
     )
+
+
+def test_ring_icp_matches_tournament(rng):
+    """Large-map ring mode (ppermute rotation, no all_gather) must find the
+    same registration as the tournament mode."""
+    from cilantro_tpu.parallel import sharded_combined_icp_ring
+
+    n = 4096
+    xy = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+    z = (0.3 * np.sin(2 * xy[:, 0]) * np.cos(2 * xy[:, 1])).astype(np.float32)
+    pts = np.column_stack([xy, z])
+    ang = 0.05
+    r = np.array(
+        [
+            [np.cos(ang), -np.sin(ang), 0],
+            [np.sin(ang), np.cos(ang), 0],
+            [0, 0, 1],
+        ],
+        np.float32,
+    )
+    t = np.array([0.02, -0.01, 0.015], np.float32)
+    dst = pts @ r.T + t
+    nrm = np.zeros_like(dst)
+    nrm[:, 2] = 1.0
+
+    mesh = make_mesh(8, 1)
+    src_s, sv, dst_s, dn, dv = shard_cloud_arrays(
+        mesh, "points", pts, np.ones(n, bool), dst, nrm, np.ones(n, bool)
+    )
+    tf, iters = sharded_combined_icp_ring(
+        src_s, sv, dst_s, dn, dv,
+        mesh=mesh,
+        max_corr_dist_sq=0.25,
+        max_iterations=30,
+        convergence_tol=1e-7,
+        point_weight=0.3,
+    )
+    assert np.abs(np.asarray(tf.linear) - r).max() < 2e-3
+    assert np.abs(np.asarray(tf.translation) - t).max() < 2e-3
