@@ -133,3 +133,38 @@ class TestProjectiveICP:
         r_inv, t_inv = r.T, -r.T @ t
         assert np.linalg.norm(np.asarray(res.transform.linear) - r_inv) < 1e-3
         assert np.linalg.norm(np.asarray(res.transform.translation) - t_inv) < 1e-3
+
+
+def test_zbuffer_grouped_large_capacity(rng):
+    """Grouped scatter-min path (capacity > 2^20): winners must match the
+    per-pixel minimum depth within one quantization bucket."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cilantro_tpu.core.rgbd import CameraIntrinsics, _zbuffer_winner
+
+    n = (1 << 20) + 4096  # forces two groups
+    pts = np.column_stack(
+        [
+            rng.uniform(-1, 1, n),
+            rng.uniform(-0.7, 0.7, n),
+            rng.uniform(1.0, 3.0, n),
+        ]
+    ).astype(np.float32)
+    K = CameraIntrinsics.make(60.0, 60.0, 47.5, 35.5)
+    h, w = 72, 96
+    imap, dep = _zbuffer_winner(jnp.asarray(pts), jnp.ones(n, bool), K, h, w)
+    im = np.asarray(imap).reshape(-1)
+    dp = np.asarray(dep).reshape(-1)
+    hit = im >= 0
+    assert hit.sum() == h * w  # dense random cloud covers every pixel
+    assert (im[hit] >= 0).all() and (im[hit] < n).all()
+    u = np.round(pts[:, 0] * 60.0 / pts[:, 2] + 47.5).astype(int)
+    v = np.round(pts[:, 1] * 60.0 / pts[:, 2] + 35.5).astype(int)
+    ok = (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    zmin = np.full(h * w, np.inf)
+    np.minimum.at(zmin, (v[ok] * w + u[ok]), pts[ok, 2])
+    bucket = 3.0 / (1 << 11)  # z_max / 2^z_bits
+    assert np.abs(dp[hit] - zmin[hit]).max() < bucket + 1e-5
+    # Winner index consistency: the returned depth is the winner's depth.
+    np.testing.assert_allclose(dp[hit], pts[im[hit], 2], rtol=0, atol=1e-6)
