@@ -321,28 +321,33 @@ def estimate_warp_field(
             return jnp.sum(perp * g, axis=-1, keepdims=True)
 
         def J_apply(delta):
-            """J·δ for all rows. δ: (M, n_lin + D) per node."""
-            dw = delta[:, :n_lin]
-            dt = delta[:, n_lin:]
-            dw_a = dw[graph.anchors]  # (N, K, n_lin)
-            dt_a = dt[graph.anchors]
-            v = _lin_apply(dw_a, y) + dt_a  # (N, K, D)
+            """J·δ for all rows. δ: (M, n_lin + D) per node.
+
+            TPU gathers cost per ROW, not per byte — every per-node operand
+            travels through ONE gather of the full (n_lin + D)-wide rows
+            (anchors, arc_i, arc_j) instead of separate rotation/translation
+            gathers."""
+            da = delta[graph.anchors]  # (N, K, P) — the one anchor gather
+            v = _lin_apply(da[..., :n_lin], y) + da[..., n_lin:]  # (N, K, D)
             v_pt = jnp.einsum("nk,nki->ni", wa, v)  # data point rows (N, D)
             if dst_normals is not None:
                 v_pl = jnp.einsum("ni,ni->n", dst_normals, v_pt)
             else:
                 v_pl = jnp.zeros(n, src_points.dtype)
-            # Arc rows.
+            # Arc rows — one gather per endpoint.
+            di = delta[graph.arc_i]
+            dj = delta[graph.arc_j]
             va = (
-                _lin_apply(dw[graph.arc_i], y_jl)
-                + dt[graph.arc_i]
-                - _lin_apply(dw[graph.arc_j], y_ll)
-                - dt[graph.arc_j]
+                _lin_apply(di[..., :n_lin], y_jl)
+                + di[..., n_lin:]
+                - _lin_apply(dj[..., :n_lin], y_ll)
+                - dj[..., n_lin:]
             )
             return v_pt, v_pl, va
 
         def Jt_apply(v_pt, v_pl, va):
-            """Jᵀ·[v] accumulated per node: scatter over anchors + arcs."""
+            """Jᵀ·[v] accumulated per node — ONE segmented reduction per
+            index set, on packed (n_lin + D)-wide rows."""
             # Data rows: contribution to node j from point i is
             # w_ij (J_ij)ᵀ (w_pp v_pt + w_pl v_pl n).
             g = w_pp[:, None] * v_pt
@@ -350,22 +355,19 @@ def estimate_warp_field(
                 g = g + (w_pl * v_pl)[:, None] * dst_normals  # (N, D)
             gk = wa[..., None] * g[:, None, :]  # (N, K, D)
             gw = _lin_grad(gk, y)  # (N, K, n_lin)
-            acc_w = graph.segment_over_anchors(gw)
-            acc_t = graph.segment_over_anchors(gk)
+            acc = graph.segment_over_anchors(
+                jnp.concatenate([gw, gk], axis=-1)
+            )  # (M, P)
             # Arc rows (weight stiffness · huber).
             ga = (stiffness * w_arc)[:, None] * va  # (A, D)
-            gw_i = _lin_grad(ga, y_jl)
-            gw_j = -_lin_grad(ga, y_ll)
+            rows_i = jnp.concatenate([_lin_grad(ga, y_jl), ga], axis=-1)
+            rows_j = jnp.concatenate([-_lin_grad(ga, y_ll), -ga], axis=-1)
             # arc_i = repeat(arange) is sorted by construction.
-            acc_w = acc_w + jax.ops.segment_sum(
-                gw_i, graph.arc_i, num_segments=m, indices_are_sorted=True
+            acc = acc + jax.ops.segment_sum(
+                rows_i, graph.arc_i, num_segments=m, indices_are_sorted=True
             )
-            acc_w = acc_w + graph.segment_over_arc_j(gw_j)
-            acc_t = acc_t + jax.ops.segment_sum(
-                ga, graph.arc_i, num_segments=m, indices_are_sorted=True
-            )
-            acc_t = acc_t - graph.segment_over_arc_j(ga)
-            return jnp.concatenate([acc_w, acc_t], axis=1)  # (M, 2D)
+            acc = acc + graph.segment_over_arc_j(rows_j)
+            return acc  # (M, P)
 
         def normal_matvec(delta):
             v_pt, v_pl, va = J_apply(delta)
@@ -373,29 +375,93 @@ def estimate_warp_field(
 
         rhs = -Jt_apply(r_pp0, r_pl0, r_arc0)
 
-        # Jacobi (lumped-diagonal) preconditioner: upper-bound row-norm
-        # estimates per unknown — only conditioning, never correctness.
-        def diag_estimate():
-            w_data = w_pp + w_pl
-            ww = w_data[:, None] * wa**2  # (N, K)
-            y2 = jnp.sum(y * y, axis=-1)  # (N, K)
-            acc_w = graph.segment_over_anchors(ww * y2)
-            acc_t = graph.segment_over_anchors(ww)
-            sa = stiffness * w_arc
-            arc_w = jax.ops.segment_sum(
-                sa * jnp.sum(y_jl * y_jl, -1), graph.arc_i, num_segments=m,
-                indices_are_sorted=True,
-            ) + graph.segment_over_arc_j(sa * jnp.sum(y_ll * y_ll, -1))
-            arc_t = jax.ops.segment_sum(
-                sa, graph.arc_i, num_segments=m, indices_are_sorted=True
-            ) + graph.segment_over_arc_j(sa)
-            dw_diag = jnp.broadcast_to(
-                (acc_w + arc_w)[:, None], (m, n_lin)
-            )
-            dt_diag = jnp.broadcast_to((acc_t + arc_t)[:, None], (m, d))
-            return jnp.concatenate([dw_diag, dt_diag], axis=1) + levenberg
+        # Preconditioner. Rigid 3D gets the TRUE block-Jacobi: the exact
+        # per-node (6,6) diagonal block of JᵀJ, assembled from per-row outer
+        # products and inverted batched — near-free per CG iteration and
+        # worth a large cut in iteration count. Other parameterizations keep
+        # the lumped-diagonal estimate.
+        use_block_precond = (not affine) and d == 3
 
-        precond = 1.0 / jnp.maximum(diag_estimate(), _EPS)
+        if use_block_precond:
+            def _skew_rows(v):
+                x_, y_, z_ = v[..., 0], v[..., 1], v[..., 2]
+                zero = jnp.zeros_like(x_)
+                return jnp.stack(
+                    [
+                        jnp.stack([zero, -z_, y_], -1),
+                        jnp.stack([z_, zero, -x_], -1),
+                        jnp.stack([-y_, x_, zero], -1),
+                    ],
+                    -2,
+                )
+
+            def _row_block(pts):
+                """B = [∂/∂ω | ∂/∂t] = [−[pts]× | I] with shape (..., 3, 6)."""
+                eye = jnp.broadcast_to(
+                    jnp.eye(3, dtype=pts.dtype), pts.shape[:-1] + (3, 3)
+                )
+                return jnp.concatenate([-_skew_rows(pts), eye], axis=-1)
+
+            b_anchor = _row_block(y)  # (N, K, 3, 6)
+            blocks = w_pp[:, None, None, None] * jnp.einsum(
+                "nkdi,nkdj->nkij", b_anchor, b_anchor
+            )
+            if dst_normals is not None:
+                bn = jnp.einsum("nd,nkdi->nki", dst_normals, b_anchor)
+                blocks = blocks + w_pl[:, None, None, None] * jnp.einsum(
+                    "nki,nkj->nkij", bn, bn
+                )
+            blocks = blocks * (wa**2)[..., None, None]
+            node_blocks = graph.segment_over_anchors(
+                blocks.reshape(n, -1, 36)
+            ).reshape(m, 6, 6)
+            sa = (stiffness * w_arc)[:, None, None]
+            b_i = _row_block(y_jl)
+            b_j = -_row_block(y_ll)
+            node_blocks = node_blocks + jax.ops.segment_sum(
+                sa * jnp.einsum("adi,adj->aij", b_i, b_i),
+                graph.arc_i,
+                num_segments=m,
+                indices_are_sorted=True,
+            )
+            node_blocks = node_blocks + graph.segment_over_arc_j(
+                (sa * jnp.einsum("adi,adj->aij", b_j, b_j)).reshape(-1, 36)
+            ).reshape(m, 6, 6)
+            node_blocks = node_blocks + (levenberg + 1e-8) * jnp.eye(
+                6, dtype=rhs.dtype
+            )
+            prec_blocks = jnp.linalg.inv(node_blocks)
+
+            def apply_precond(r):
+                return jnp.einsum("mij,mj->mi", prec_blocks, r)
+
+        else:
+            # Lumped-diagonal estimate — conditioning only, never
+            # correctness.
+            def diag_estimate():
+                w_data = w_pp + w_pl
+                ww = w_data[:, None] * wa**2  # (N, K)
+                y2 = jnp.sum(y * y, axis=-1)  # (N, K)
+                acc_w = graph.segment_over_anchors(ww * y2)
+                acc_t = graph.segment_over_anchors(ww)
+                sa = stiffness * w_arc
+                arc_w = jax.ops.segment_sum(
+                    sa * jnp.sum(y_jl * y_jl, -1), graph.arc_i,
+                    num_segments=m, indices_are_sorted=True,
+                ) + graph.segment_over_arc_j(sa * jnp.sum(y_ll * y_ll, -1))
+                arc_t = jax.ops.segment_sum(
+                    sa, graph.arc_i, num_segments=m, indices_are_sorted=True
+                ) + graph.segment_over_arc_j(sa)
+                dw_diag = jnp.broadcast_to(
+                    (acc_w + arc_w)[:, None], (m, n_lin)
+                )
+                dt_diag = jnp.broadcast_to((acc_t + arc_t)[:, None], (m, d))
+                return jnp.concatenate([dw_diag, dt_diag], axis=1) + levenberg
+
+            precond_vec = 1.0 / jnp.maximum(diag_estimate(), _EPS)
+
+            def apply_precond(r):
+                return precond_vec * r
 
         # Preconditioned CG on (JᵀJ + λI) δ = rhs, relative tolerance
         # (Eigen CG semantics, ``warp_field_estimation.hpp:188-192``).
@@ -403,7 +469,7 @@ def estimate_warp_field(
             rhs_norm2 = jnp.sum(rhs * rhs)
             x0 = jnp.zeros_like(rhs)
             r0 = rhs
-            z0 = precond * r0
+            z0 = apply_precond(r0)
             p0 = z0
             rz0 = jnp.sum(r0 * z0)
 
@@ -413,7 +479,7 @@ def estimate_warp_field(
                 alpha = rzk / jnp.maximum(jnp.sum(pk * ap), _EPS)
                 xk1 = xk + alpha * pk
                 rk1 = rk - alpha * ap
-                zk1 = precond * rk1
+                zk1 = apply_precond(rk1)
                 rzk1 = jnp.sum(rk1 * zk1)
                 beta = rzk1 / jnp.maximum(rzk, _EPS)
                 return xk1, rk1, zk1 + beta * pk, rzk1, k + 1
