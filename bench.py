@@ -126,6 +126,7 @@ def bench_rigid_icp():
 
     # NN throughput (BASELINE "NN queries/sec" row): exact 120k→120k.
     from cilantro_tpu.neighbors import nn1
+    from cilantro_tpu.neighbors.gridhash import radius_search_grid
 
     dist, _ = nn1(p1j, p2j)
     np.asarray(dist[:1])
@@ -137,6 +138,27 @@ def bench_rigid_icp():
     log(
         f"exact nn1 120k vs 120k: {nn_dt*1e3:.0f} ms "
         f"({len(p1)/nn_dt/1e6:.2f} M queries/s)"
+    )
+
+    # Radius-bounded NN (the kd-tree's radius queries): grid backend.
+    import jax as _jax
+    import jax.numpy as jnp
+
+    @_jax.jit
+    def _grid(q, kk):
+        d, i, over = radius_search_grid(q, kk, 0.01, 10, exclude_self=True)
+        return d[:, 0], jnp.sum(over)
+
+    d0, _ = _grid(p1j, p1j)
+    np.asarray(d0[:1])
+    t0 = time.perf_counter()
+    for _ in range(5):
+        d0, _ = _grid(p1j, p1j)
+        np.asarray(d0[:1])
+    g_dt = (time.perf_counter() - t0) / 5
+    log(
+        f"radius NN (r=1 cm, k<=10) 120k self, grid backend: "
+        f"{g_dt*1e3:.0f} ms ({len(p1)/g_dt/1e6:.2f} M queries/s)"
     )
 
 
