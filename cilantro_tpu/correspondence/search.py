@@ -113,14 +113,36 @@ def find_nn_correspondences(
     ``max_distance`` is compared against *squared* L2 feature distance,
     matching the reference default ``0.01²``
     (``correspondence_search_kd_tree.hpp:47-51``) — pass the squared value.
+
+    With a distance gate on a large 3D L2 problem (TPU), the search runs the
+    Morton-sorted tile-pruned kernel — the gate doubles as the kd-tree-style
+    box-prune bound, skipping far tile pairs entirely.
     """
-    dist, idx = nn1(
-        query_features,
-        dst_features,
-        query_valid=query_valid,
-        key_valid=dst_valid,
-        metric=metric,
+    use_pruned = (
+        max_distance is not None
+        and metric == "l2"
+        and query_features.shape[1] == 3
+        and query_features.shape[0] * dst_features.shape[0] >= (1 << 26)
+        and jax.default_backend() == "tpu"
     )
+    if use_pruned:
+        from ..neighbors.pallas_nn import nn1_pruned
+
+        dist, idx = nn1_pruned(
+            query_features,
+            dst_features,
+            jnp.sqrt(jnp.float32(max_distance)),
+            query_valid=query_valid,
+            key_valid=dst_valid,
+        )
+    else:
+        dist, idx = nn1(
+            query_features,
+            dst_features,
+            query_valid=query_valid,
+            key_valid=dst_valid,
+            metric=metric,
+        )
     mask = dist < INVALID_DIST
     if max_distance is not None:
         mask &= dist <= max_distance

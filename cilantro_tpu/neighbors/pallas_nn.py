@@ -159,6 +159,179 @@ def nn1_pallas(
     return dist, idx
 
 
+def _nn1_kernel_masked(
+    mask_ref, q_ref, k_ref, out_d_ref, out_i_ref, bd, bi, *, tm: int
+):
+    """nn1 kernel with per-(query tile, key chunk) skip mask: chunks whose
+    tile AABBs are farther apart than the search radius contribute nothing
+    and are skipped entirely — the kd-tree's box pruning, MXU-shaped. The
+    kernel is compute-bound (DMA is ~64 KB/step), so skipping the compute
+    skips essentially the whole step cost."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    n_mt = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        bd[:] = jnp.full_like(bd[:], INVALID_DIST)
+        bi[:] = jnp.zeros_like(bi[:])
+
+    @pl.when(mask_ref[0, 0] != 0)
+    def _():
+        dist = _chunk_dist(q_ref[:], k_ref[:])
+        chunk_best = jnp.min(dist, axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) + j * tm
+        chunk_arg = jnp.min(
+            jnp.where(
+                dist <= chunk_best[:, None], col, jnp.int32(2**31 - 1)
+            ),
+            axis=1,
+        )
+        better = chunk_best < bd[:]
+        bd[:] = jnp.where(better, chunk_best, bd[:])
+        bi[:] = jnp.where(better, chunk_arg, bi[:])
+
+    @pl.when(j == n_mt - 1)
+    def _():
+        out_d_ref[i, :] = bd[:]
+        out_i_ref[i, :] = bi[:]
+
+
+@partial(
+    jax.jit, static_argnames=("tile_q", "tile_m", "interpret")
+)
+def _nn1_pallas_masked(
+    qp: jax.Array,  # (Qp, 8) augmented, tile_q-padded
+    kp: jax.Array,  # (Mp, 8) augmented, tile_m-padded
+    tile_mask: jax.Array,  # (n_qt, n_mt) int32
+    *,
+    tile_q: int = 1024,
+    tile_m: int = 2048,
+    interpret: bool = False,
+):
+    n_qt = qp.shape[0] // tile_q
+    n_mt = kp.shape[0] // tile_m
+    grid = (n_qt, n_mt)
+    dist, idx = pl.pallas_call(
+        partial(_nn1_kernel_masked, tm=tile_m),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1), lambda i, j: (i, j), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (tile_q, _DPAD), lambda i, j: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_m, _DPAD), lambda i, j: (j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_qt, tile_q), jnp.float32),
+            jax.ShapeDtypeStruct((n_qt, tile_q), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_q,), jnp.float32),
+            pltpu.VMEM((tile_q,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(tile_mask, qp, kp)
+    return dist, idx
+
+
+@partial(
+    jax.jit, static_argnames=("tile_q", "tile_m", "interpret")
+)
+def nn1_pruned(
+    queries: jax.Array,
+    keys: jax.Array,
+    radius: float,
+    *,
+    query_valid: Optional[jax.Array] = None,
+    key_valid: Optional[jax.Array] = None,
+    tile_q: int = 1024,
+    tile_m: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Radius-bounded exact nn1 with Morton-sort tile pruning.
+
+    Both clouds are sorted by Morton code so kernel tiles are spatially
+    compact; (query tile, key chunk) pairs whose exact AABB distance exceeds
+    ``radius`` are skipped inside the kernel. Matches within the radius are
+    exact; queries with no key inside ``radius`` return ``INVALID_DIST``.
+    This is the ICP correspondence search's fast path — ICP always carries a
+    max-correspondence-distance gate, which is exactly the prune bound
+    (``correspondence_search_kd_tree.hpp:47-51``).
+    """
+    from .gridhash import _aabb_dist2, morton_code
+
+    qn, d = queries.shape
+    mn = keys.shape[0]
+    qv = jnp.ones(qn, bool) if query_valid is None else query_valid
+    kv = jnp.ones(mn, bool) if key_valid is None else key_valid
+    big = jnp.float32(3e38)
+    origin = jnp.minimum(
+        jnp.min(jnp.where(qv[:, None], queries, big), axis=0),
+        jnp.min(jnp.where(kv[:, None], keys, big), axis=0),
+    )
+    qcode = jnp.where(
+        qv, morton_code(queries, origin, radius), jnp.int32(2**31 - 1)
+    )
+    kcode = jnp.where(
+        kv, morton_code(keys, origin, radius), jnp.int32(2**31 - 1)
+    )
+    qperm = jnp.argsort(qcode).astype(jnp.int32)
+    kperm = jnp.argsort(kcode).astype(jnp.int32)
+    qs = queries[qperm]
+    ks = keys[kperm]
+    qvs = qv[qperm]
+    kvs = kv[kperm]
+
+    def tile_aabbs(pts, val, tile):
+        pad = (-pts.shape[0]) % tile
+        if pad:
+            pts = jnp.pad(pts, ((0, pad), (0, 0)))
+            val = jnp.pad(val, (0, pad))
+        nt = pts.shape[0] // tile
+        blocks = pts.reshape(nt, tile, d)
+        vb = val.reshape(nt, tile)
+        amin = jnp.min(jnp.where(vb[..., None], blocks, big), axis=1)
+        amax = jnp.max(jnp.where(vb[..., None], blocks, -big), axis=1)
+        return amin, amax, jnp.any(vb, axis=1)
+
+    qmin, qmax, q_occ = tile_aabbs(qs, qvs, tile_q)
+    kmin, kmax, k_occ = tile_aabbs(ks, kvs, tile_m)
+    r2 = jnp.float32(radius) * jnp.float32(radius)
+    within = (
+        (_aabb_dist2(qmin, qmax, kmin, kmax) <= r2)
+        & q_occ[:, None]
+        & k_occ[None, :]
+    ).astype(jnp.int32)
+
+    qp, kp = _augment(qs, ks, kvs, tile_q, tile_m)
+    dist, idx = _nn1_pallas_masked(
+        qp, kp, within, tile_q=tile_q, tile_m=tile_m, interpret=interpret
+    )
+    dist = jnp.maximum(dist.reshape(-1)[:qn], 0.0)
+    idx = idx.reshape(-1)[:qn]
+    # Radius gate + invalid queries; map indices back to original key order.
+    ok = (dist <= r2) & qvs
+    dist = jnp.where(ok, dist, INVALID_DIST)
+    idx = jnp.where(ok, kperm[jnp.clip(idx, 0, mn - 1)], 0)
+    # Un-permute to the original query order.
+    inv = jnp.argsort(qperm).astype(jnp.int32)
+    return dist[inv], idx[inv]
+
+
 def _k_smallest(dist, payload_idx, k):
     """k smallest per row by iterated min-extraction (``top_k`` has no Pallas
     TPU lowering; k is small so k VPU passes are fine). Returns ascending

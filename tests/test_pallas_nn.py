@@ -67,3 +67,54 @@ def test_knn_exclude_self(rng):
     rows = np.arange(48)[:, None]
     assert not np.any(np.asarray(ik) == rows)
     assert np.all(np.asarray(dk) > 0)
+
+
+def test_nn1_pruned_interpret(rng):
+    """Tile-pruned nn1 (interpret mode) matches brute force within radius."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cilantro_tpu.neighbors.pallas_nn import nn1_pruned, INVALID_DIST
+    from cilantro_tpu.neighbors.bruteforce import _nn1_xla
+
+    n = 3000
+    g = np.linspace(-0.2, 0.2, 55)
+    gx, gy = np.meshgrid(g, g)
+    gz = 1.5 + 0.05 * np.sin(10 * gx) * np.cos(8 * gy)
+    pts = np.column_stack([gx.ravel(), gy.ravel(), gz.ravel()])[:n]
+    pts = (pts + rng.normal(0, 5e-4, pts.shape)).astype(np.float32)
+    q = (pts[::3] + rng.normal(0, 2e-3, pts[::3].shape)).astype(np.float32)
+
+    radius = 0.01
+    d_p, i_p = nn1_pruned(
+        jnp.asarray(q), jnp.asarray(pts), radius,
+        tile_q=256, tile_m=512, interpret=True,
+    )
+    d_b, i_b = _nn1_xla(jnp.asarray(q), jnp.asarray(pts))
+    d_p, i_p, d_b, i_b = map(np.asarray, (d_p, i_p, d_b, i_b))
+    within = d_b <= radius * radius
+    # Inside the radius: exact agreement (distance; index up to ties).
+    np.testing.assert_allclose(d_p[within], d_b[within], rtol=1e-5, atol=5e-7)
+    same = i_p[within] == i_b[within]
+    assert same.mean() > 0.95  # f32 cancellation noise can flip near-ties
+    # Outside the radius: flagged invalid.
+    assert (d_p[~within] >= INVALID_DIST * 0.5).all()
+
+
+def test_nn1_pruned_with_invalid_keys(rng):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cilantro_tpu.neighbors.pallas_nn import nn1_pruned, INVALID_DIST
+
+    pts = rng.uniform(-0.1, 0.1, (1000, 3)).astype(np.float32)
+    kv = np.ones(1000, bool)
+    kv[::2] = False
+    d, i = nn1_pruned(
+        jnp.asarray(pts[:200]), jnp.asarray(pts), 0.05,
+        key_valid=jnp.asarray(kv), tile_q=128, tile_m=256, interpret=True,
+    )
+    d, i = np.asarray(d), np.asarray(i)
+    hit = d < INVALID_DIST * 0.5
+    assert hit.sum() > 100
+    assert (i[hit] % 2 == 1).all()  # only valid (odd) keys matched
