@@ -176,7 +176,7 @@ def _nn1_kernel_masked(
         bd[:] = jnp.full_like(bd[:], INVALID_DIST)
         bi[:] = jnp.zeros_like(bi[:])
 
-    @pl.when(mask_ref[0, 0] != 0)
+    @pl.when(mask_ref[i, j] != 0)
     def _():
         dist = _chunk_dist(q_ref[:], k_ref[:])
         chunk_best = jnp.min(dist, axis=1)
@@ -212,33 +212,30 @@ def _nn1_pallas_masked(
     n_qt = qp.shape[0] // tile_q
     n_mt = kp.shape[0] // tile_m
     grid = (n_qt, n_mt)
-    dist, idx = pl.pallas_call(
-        partial(_nn1_kernel_masked, tm=tile_m),
+    # The (n_qt, n_mt) skip mask rides as a scalar-prefetch operand (whole
+    # array SMEM-resident, indexed [i, j] in the kernel).
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (1, 1), lambda i, j: (i, j), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (tile_q, _DPAD), lambda i, j: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (tile_m, _DPAD), lambda i, j: (j, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((tile_q, _DPAD), lambda i, j, m_: (i, 0)),
+            pl.BlockSpec((tile_m, _DPAD), lambda i, j, m_: (j, 0)),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_qt, tile_q), jnp.float32),
-            jax.ShapeDtypeStruct((n_qt, tile_q), jnp.int32),
-        ],
         scratch_shapes=[
             pltpu.VMEM((tile_q,), jnp.float32),
             pltpu.VMEM((tile_q,), jnp.int32),
+        ],
+    )
+    dist, idx = pl.pallas_call(
+        partial(_nn1_kernel_masked, tm=tile_m),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_qt, tile_q), jnp.float32),
+            jax.ShapeDtypeStruct((n_qt, tile_q), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
