@@ -28,7 +28,11 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-INVALID_DIST = jnp.float32(3.0e38)
+# Plain Python float (NOT a jnp constant): materializing a device array at
+# import time would initialize the XLA backend, which must not happen before
+# jax.distributed.initialize() in multi-process deployments. JAX weak typing
+# keeps comparisons/fills in f32.
+INVALID_DIST = 3.0e38
 
 
 def _pad_rows(a: jax.Array, multiple: int, fill) -> jax.Array:

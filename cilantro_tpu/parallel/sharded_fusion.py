@@ -43,7 +43,7 @@ from ..slam.fusion import (
     _classify_and_build_rows,
 )
 
-_INT_MAX = jnp.int32(2**31 - 1)
+_INT_MAX = 2**31 - 1  # plain int: no device constants at import time
 
 
 def _local_render(data_local, base, intrinsics, cam_from_world, h, w, axis):
