@@ -158,3 +158,78 @@ def dump_artifacts(
         np.save(
             os.path.join(out_dir, f"{prefix}_poses.npy"), np.stack(poses)
         )
+
+
+def save_correspondences_png(
+    path: str,
+    src_points,
+    dst_points,
+    correspondences,
+    *,
+    max_lines: int = 500,
+    elev: float = 20.0,
+    azim: float = -60.0,
+) -> None:
+    """Correspondence artifact — the reference's
+    ``PointCorrespondencesRenderable`` (``common_renderables.hpp``) as a 3D
+    line plot: both clouds plus up to ``max_lines`` match segments."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    s = np.asarray(src_points)
+    d = np.asarray(dst_points)
+    mask = np.asarray(correspondences.mask)
+    idx = np.asarray(correspondences.dst_idx)
+    rows = np.flatnonzero(mask)
+    if len(rows) > max_lines:
+        rows = rows[:: max(1, len(rows) // max_lines)][:max_lines]
+    fig = plt.figure(figsize=(8, 6))
+    ax = fig.add_subplot(projection="3d")
+    ax.scatter(*s[:: max(1, len(s) // 2000)].T, s=1, c="tab:blue", alpha=0.4)
+    ax.scatter(*d[:: max(1, len(d) // 2000)].T, s=1, c="tab:orange", alpha=0.4)
+    for r in rows:
+        a, b = s[r], d[idx[r]]
+        ax.plot([a[0], b[0]], [a[1], b[1]], [a[2], b[2]], c="gray", lw=0.3)
+    ax.view_init(elev=elev, azim=azim)
+    ax.set_axis_off()
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def save_mesh_png(
+    path: str,
+    vertices,
+    faces,
+    *,
+    elev: float = 20.0,
+    azim: float = -60.0,
+    face_color=(0.6, 0.7, 0.9),
+) -> None:
+    """Triangle-mesh artifact — the reference's ``TriangleMeshRenderable``
+    as a shaded matplotlib Poly3DCollection (e.g. convex-hull facets)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    v = np.asarray(vertices)
+    fig = plt.figure(figsize=(8, 6))
+    ax = fig.add_subplot(projection="3d")
+    tris = [v[np.asarray(f)] for f in faces]
+    coll = Poly3DCollection(
+        tris, facecolor=face_color, edgecolor="k", linewidths=0.2, alpha=0.9
+    )
+    ax.add_collection3d(coll)
+    lo, hi = v.min(0), v.max(0)
+    ax.set_xlim(lo[0], hi[0])
+    ax.set_ylim(lo[1], hi[1])
+    ax.set_zlim(lo[2], hi[2])
+    ax.view_init(elev=elev, azim=azim)
+    ax.set_axis_off()
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)

@@ -69,3 +69,27 @@ class TestViz:
         dump_artifacts(str(tmp_path), cloud, poses, prefix="t")
         for name in ("t_map.ply", "t_map.png", "t_trajectory.png", "t_poses.npy"):
             assert os.path.exists(tmp_path / name), name
+
+
+def test_correspondence_and_mesh_artifacts(tmp_path, rng):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cilantro_tpu.correspondence.search import find_nn_correspondences
+    from cilantro_tpu.spatial import ConvexPolytope
+    from cilantro_tpu.viz.offline import (
+        save_correspondences_png,
+        save_mesh_png,
+    )
+
+    pts = rng.standard_normal((400, 3)).astype(np.float32)
+    dst = pts + 0.01
+    corr = find_nn_correspondences(jnp.asarray(pts), jnp.asarray(dst))
+    p1 = str(tmp_path / "corr.png")
+    save_correspondences_png(p1, pts, dst, corr, max_lines=50)
+    assert (tmp_path / "corr.png").stat().st_size > 1000
+
+    hull = ConvexPolytope.from_points(pts)
+    p2 = str(tmp_path / "mesh.png")
+    save_mesh_png(p2, hull.vertices, hull.faces)
+    assert (tmp_path / "mesh.png").stat().st_size > 1000
