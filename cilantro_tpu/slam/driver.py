@@ -104,14 +104,16 @@ def run_fusion_sequence(
         iters_dev = [jnp.int32(0)]
         imap = None
         start = 1
+    packed = None  # rebuilt from imap on the first step; cached thereafter
 
     t0 = time.perf_counter()
     for fi in range(start, len(depths)):
         pts, nrm, valid = depth_to_points_normals(staged[fi], intrinsics)
         colf = col_staged[fi] if col_staged is not None else None
-        fmap, pose, res, imap = fusion_step(
+        fmap, pose, res, imap, packed = fusion_step(
             fmap, pts, nrm, colf, valid, pose, intrinsics,
             cached_index_map=imap,
+            cached_packed_target=packed,
             height=h, width=w, cfg=cfg,
             do_integrate=(fi % integrate_every == 0),
         )
@@ -281,23 +283,48 @@ def run_fusion_sequence_scanned(
     @_partial(jax.jit, static_argnames=())
     def run(fmap0, depth_stack):
         from ..core.rgbd import _zbuffer_winner
+        from ..core.transforms import inverse as _inverse
 
         imap0, _ = _zbuffer_winner(
             fmap0.points, fmap0.valid, intrinsics, h, w
         )
         pose0 = identity(3)
+        # Initial packed localize target from the seed render (thereafter
+        # each integrate emits the next one for free).
+        hit = imap0.reshape(-1)
+        ok = hit >= 0
+        rows0 = jnp.where(
+            ok[:, None], fmap0.data[jnp.where(ok, hit, 0)], 0.0
+        )
+        ok &= rows0[:, 10] > 0.5
+        cam0 = _inverse(pose0)
+        flag0 = ok.astype(jnp.float32)[:, None]
+        packed0 = jnp.where(
+            ok[:, None],
+            jnp.concatenate(
+                [
+                    cam0.apply(rows0[:, 0:3]),
+                    cam0.apply_normals(rows0[:, 3:6]),
+                    flag0,
+                    jnp.zeros_like(flag0),
+                ],
+                axis=1,
+            ),
+            0.0,
+        )
 
         def step(carry, depth):
-            fmap, pose, imap = carry
+            fmap, pose, imap, packed = carry
             p, n, v = depth_to_points_normals(depth, intrinsics)
-            fmap, pose, res, imap = fusion_step(
+            fmap, pose, res, imap, packed = fusion_step(
                 fmap, p, n, None, v, pose, intrinsics,
-                cached_index_map=imap, height=h, width=w, cfg=cfg,
+                cached_index_map=imap, cached_packed_target=packed,
+                height=h, width=w, cfg=cfg,
             )
-            return (fmap, pose, imap), (pose.matrix(), res.iterations)
+            return (fmap, pose, imap, packed), (pose.matrix(), res.iterations)
 
-        (fmap, pose, _), (mats, iters) = jax.lax.scan(
-            step, (fmap0, pose0, imap0), depth_stack
+        (fmap, pose, _, _), (mats, iters) = jax.lax.scan(
+            step, (fmap0, pose0, imap0, packed0), depth_stack
         )
         return fmap, mats, iters
 

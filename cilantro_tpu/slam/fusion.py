@@ -220,6 +220,7 @@ def localize(
     width: int,
     cfg: FusionConfig = FusionConfig(),
     index_map: Optional[jax.Array] = None,
+    packed_target: Optional[jax.Array] = None,
 ) -> Tuple[Transform, ICPResult]:
     """Frame-to-model projective ICP. Returns the refined world pose of the
     frame camera (``fusion.cpp:131-141``).
@@ -227,31 +228,38 @@ def localize(
     ``index_map`` may be the render the previous integrate produced at this
     very pose (warm-started fusion: pose_guess == previous refined pose), so
     no re-render is needed; carved points are re-gated via the pool's valid
-    flag.
+    flag. ``packed_target`` goes one further: the previous integrate's
+    post-update packed camera-frame target (see
+    :func:`integrate_frame_with_imap`) — no render AND no pool gather.
     """
-    cam_from_world = inverse(pose_guess)
-    if index_map is None:
-        model_cam = cam_from_world.apply(fmap.points)
-        index_map, _ = _zbuffer_winner(
-            model_cam, fmap.valid, intrinsics, height, width
+    if packed_target is not None:
+        # Warm start: the previous integrate emitted the packed camera-frame
+        # target for exactly this pose_guess — zero render/gather work here.
+        packed = packed_target
+    else:
+        cam_from_world = inverse(pose_guess)
+        if index_map is None:
+            model_cam = cam_from_world.apply(fmap.points)
+            index_map, _ = _zbuffer_winner(
+                model_cam, fmap.valid, intrinsics, height, width
+            )
+        # Build the packed per-pixel target with ONE pool gather; the camera
+        # transform runs on the H·W gathered rows, never on the capacity.
+        hit = index_map.reshape(-1)
+        ok = hit >= 0
+        rows = fmap.data[jnp.where(ok, hit, 0)]
+        ok &= rows[:, 10] > 0.5
+        rows = jnp.where(ok[:, None], rows, 0.0)  # keep masked lanes finite
+        pts_cam = cam_from_world.apply(rows[:, 0:3])
+        nrm_cam = cam_from_world.apply_normals(rows[:, 3:6])
+        flag = ok.astype(jnp.float32)[:, None]
+        packed = jnp.where(
+            ok[:, None],
+            jnp.concatenate(
+                [pts_cam, nrm_cam, flag, jnp.zeros_like(flag)], axis=1
+            ),
+            0.0,
         )
-    # Build the packed per-pixel target with ONE pool gather; the camera
-    # transform runs on the H·W gathered rows, never on the full capacity.
-    hit = index_map.reshape(-1)
-    ok = hit >= 0
-    rows = fmap.data[jnp.where(ok, hit, 0)]
-    ok &= rows[:, 10] > 0.5
-    rows = jnp.where(ok[:, None], rows, 0.0)  # keep masked lanes finite
-    pts_cam = cam_from_world.apply(rows[:, 0:3])
-    nrm_cam = cam_from_world.apply_normals(rows[:, 3:6])
-    flag = ok.astype(jnp.float32)[:, None]
-    packed = jnp.where(
-        ok[:, None],
-        jnp.concatenate(
-            [pts_cam, nrm_cam, flag, jnp.zeros_like(flag)], axis=1
-        ),
-        0.0,
-    )
     res = icp_projective_packed(
         frame_points,
         packed,
@@ -504,14 +512,32 @@ def integrate_frame_with_imap(
     data = fmap.data.at[tgt].set(
         rows_out, mode="drop", unique_indices=True
     )
-    return FusionMap(data=data), imap
+
+    # Next frame's localize warm-starts at THIS pose against THIS render —
+    # emit its packed camera-frame target from rows already in hand (a
+    # select over the gathered image, zero extra indexed ops). Fused pixels
+    # use their post-update rows, carved pixels drop out; augments (not in
+    # this render) appear one frame later, as with any cached render.
+    post_rows = jnp.where(do_fuse[:, None], fuse_rows, mrows)
+    alive = m_ok & ~do_carve & (post_rows[:, 10] > 0.5)
+    pts_cam_post = cam_from_world.apply(post_rows[:, 0:3])
+    nrm_cam_post = cam_from_world.apply_normals(post_rows[:, 3:6])
+    flag = alive.astype(jnp.float32)[:, None]
+    packed_next = jnp.where(
+        alive[:, None],
+        jnp.concatenate(
+            [pts_cam_post, nrm_cam_post, flag, jnp.zeros_like(flag)], axis=1
+        ),
+        0.0,
+    )
+    return FusionMap(data=data), imap, packed_next
 
 
 def integrate_frame(*args, **kwargs) -> FusionMap:
     """Fuse / augment / carve (``fusion.cpp:148-238``); see
     :func:`integrate_frame_with_imap` for the variant that also returns the
-    rendered index map."""
-    fmap, _ = integrate_frame_with_imap(*args, **kwargs)
+    rendered index map + next-localize packed target."""
+    fmap, _, _ = integrate_frame_with_imap(*args, **kwargs)
     return fmap
 
 
@@ -528,20 +554,24 @@ def fusion_step(
     intrinsics: CameraIntrinsics,
     *,
     cached_index_map: Optional[jax.Array] = None,
+    cached_packed_target: Optional[jax.Array] = None,
     height: int,
     width: int,
     cfg: FusionConfig = FusionConfig(),
     do_integrate: bool = True,
-) -> Tuple[FusionMap, Transform, ICPResult, Optional[jax.Array]]:
+) -> Tuple[
+    FusionMap, Transform, ICPResult, Optional[jax.Array], Optional[jax.Array]
+]:
     """One full fusion frame (localize + integrate) as a single program —
     one dispatch per frame keeps the device streaming over the host loop.
 
-    ``cached_index_map`` is the previous integrate's render (valid because
-    pose_guess == the pose it was rendered at); the new render comes back as
-    the 4th output, halving z-buffer work per frame."""
+    ``cached_packed_target`` is the previous integrate's post-update packed
+    camera-frame target (valid because pose_guess == the pose it was built
+    at) — localize then does no render and no pool gather at all; the new
+    target comes back as the 5th output. ``cached_index_map`` is the weaker
+    cache (render only)."""
     s = cfg.localize_stride
     if s > 1:
-        hw = frame_points.shape[0]
         rows = jnp.arange(0, height, s)
         cols = jnp.arange(0, width, s)
         sub = (rows[:, None] * width + cols[None, :]).reshape(-1)
@@ -561,10 +591,12 @@ def fusion_step(
         width=width,
         cfg=cfg,
         index_map=cached_index_map,
+        packed_target=cached_packed_target,
     )
     new_imap = cached_index_map
+    new_packed = cached_packed_target
     if do_integrate:
-        fmap, new_imap = integrate_frame_with_imap(
+        fmap, new_imap, new_packed = integrate_frame_with_imap(
             fmap,
             frame_points,
             frame_normals,
@@ -576,4 +608,4 @@ def fusion_step(
             width=width,
             cfg=cfg,
         )
-    return fmap, pose, res, new_imap
+    return fmap, pose, res, new_imap, new_packed

@@ -38,7 +38,7 @@ def run_both(n_frames=4, capacity=2 * H * W):
     poses_s, poses_d = [], []
     for fi in range(1, n_frames):
         pts, nrm, val = depth_to_points_normals(jnp.asarray(depths[fi]), K)
-        fmap, pose_d, _, imap = fusion_step(
+        fmap, pose_d, _, imap, _ = fusion_step(
             fmap, pts, nrm, None, val, pose_d, K,
             cached_index_map=imap, height=H, width=W, cfg=cfg,
         )
