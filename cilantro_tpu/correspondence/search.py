@@ -249,3 +249,41 @@ def oracle_correspondences(
         weights=m.astype(src_points.dtype),
         mask=m,
     )
+
+
+def combine_metric_correspondences(
+    corr_point: Correspondences,
+    corr_plane: Correspondences,
+    dst_points: jax.Array,
+    dst_normals: jax.Array,
+    *,
+    point_weight: float = 1.0,
+    plane_weight: float = 1.0,
+):
+    """Two-engine combined-metric correspondence combiner (reference
+    ``correspondence_search_combined_metric_combiner.hpp:9-81``): the
+    point-to-point and point-to-plane metrics may come from DIFFERENT search
+    engines (e.g. point features vs point‖normal features); this merges
+    their results into the gathered arrays + two weight channels the GN
+    estimators consume.
+
+    Returns ``(dst_pts (Q, D), dst_nrm (Q, D), w_point (Q,), w_plane (Q,))``
+    — pass straight to ``estimate_rigid_combined_metric(...,
+    point_weights=w_point, plane_weights=w_plane)``. Where the two engines
+    matched different targets for the same query, each metric keeps its own
+    gather: the plane channel follows ``corr_plane``, the point channel
+    contributes through ``corr_point``'s target positions, exactly like the
+    reference's two independent correspondence vectors.
+    """
+    # Plane rows anchor the gathered targets (the dominant metric in every
+    # reference preset); point rows reuse them when the engines agree and
+    # fall back to their own gather when they don't.
+    idx_pl = corr_plane.dst_idx
+    idx_pp = corr_point.dst_idx
+    same = idx_pl == idx_pp
+    dst_pl = dst_points[idx_pl]
+    dst_pp = jnp.where(same[:, None], dst_pl, dst_points[idx_pp])
+    nrm = dst_normals[idx_pl]
+    w_plane = corr_plane.weights * plane_weight
+    w_point = corr_point.weights * point_weight
+    return dst_pp, nrm, w_point, w_plane

@@ -314,3 +314,67 @@ class TestMultiresICP:
         )
         assert rot_err(res.transform.linear, r) < 1e-3
         assert np.linalg.norm(np.asarray(res.transform.translation) - t) < 1e-3
+
+
+def test_two_engine_combined_correspondences(rng):
+    """Combiner parity (correspondence_search_combined_metric_combiner.hpp):
+    p2p matches from point features, p2plane from point+normal features, fed
+    jointly to the combined-metric GN — recovers a known small transform."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cilantro_tpu.correspondence.search import (
+        combine_metric_correspondences,
+        find_nn_correspondences,
+        point_features,
+        point_normal_features,
+    )
+    from cilantro_tpu.registration.transform_estimation import (
+        estimate_rigid_combined_metric,
+    )
+    from cilantro_tpu.core.transforms import Transform
+
+    n = 3000
+    xy = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+    z = (0.3 * np.sin(2 * xy[:, 0]) * np.cos(2 * xy[:, 1])).astype(np.float32)
+    dst = np.column_stack([xy, z])
+    dzdx = 0.6 * np.cos(2 * xy[:, 0]) * np.cos(2 * xy[:, 1])
+    dzdy = -0.6 * np.sin(2 * xy[:, 0]) * np.sin(2 * xy[:, 1])
+    nrm = np.column_stack([-dzdx, -dzdy, np.ones(n)]).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+
+    ang = 0.01
+    r = np.array(
+        [
+            [np.cos(ang), -np.sin(ang), 0],
+            [np.sin(ang), np.cos(ang), 0],
+            [0, 0, 1],
+        ],
+        np.float32,
+    )
+    t = np.array([0.004, -0.002, 0.003], np.float32)
+    src = (dst - t) @ r
+    src_n = nrm @ r
+
+    sj, dj, nj, snj = map(jnp.asarray, (src, dst, nrm, src_n))
+    # Engine 1: plain point features for the p2p metric.
+    c_pp = find_nn_correspondences(point_features(sj), point_features(dj))
+    # Engine 2: point+normal features for the p2plane metric.
+    c_pl = find_nn_correspondences(
+        point_normal_features(sj, snj, 0.3),
+        point_normal_features(dj, nj, 0.3),
+    )
+    d_pts, d_nrm, w_pp, w_pl = combine_metric_correspondences(
+        c_pp, c_pl, dj, nj, point_weight=0.1, plane_weight=1.0
+    )
+    tf = Transform(jnp.eye(3), jnp.zeros(3))
+    for _ in range(8):
+        delta, ok = estimate_rigid_combined_metric(
+            tf.apply(sj), d_pts, d_nrm,
+            point_weights=w_pp, plane_weights=w_pl,
+        )
+        from cilantro_tpu.core.transforms import compose, reproject_rigid
+
+        tf = reproject_rigid(compose(delta, tf))
+    assert np.abs(np.asarray(tf.linear) - r).max() < 2e-3
+    assert np.abs(np.asarray(tf.translation) - t).max() < 2e-3
