@@ -35,12 +35,14 @@ class KMeansResult:
     converged: jax.Array  # bool
 
 
-def _assign(points, centroids, valid):
-    """(N,) argmin cluster per point via one matmul-shaped distance block."""
-    pp = jnp.sum(points * points, axis=1, keepdims=True)
-    cc = jnp.sum(centroids * centroids, axis=1)[None, :]
-    cross = points @ centroids.T
-    dist = pp + cc - 2.0 * cross  # (N, K)
+def _assign(points, centroids, valid, metric="l2"):
+    """(N,) argmin cluster per point via one matmul-shaped distance block.
+    ``metric`` plugs any of the NN metric family (L1/L2/SO2/SO3) into the
+    assignment, mirroring the reference's pluggable nanoflann metric
+    (``clustering/kmeans.hpp:9-13``); centroid updates stay means (Lloyd)."""
+    from ..neighbors.bruteforce import _TILE_DISTS
+
+    dist = _TILE_DISTS[metric](points, centroids)  # (N, K)
     lab = jnp.argmin(dist, axis=1).astype(jnp.int32)
     d_min = jnp.take_along_axis(dist, lab[:, None], axis=1)[:, 0]
     d_min = jnp.where(valid, d_min, -jnp.inf)
@@ -54,7 +56,7 @@ def _update(points, labels, valid, k):
     return sums, counts
 
 
-@partial(jax.jit, static_argnames=("num_clusters", "max_iterations"))
+@partial(jax.jit, static_argnames=("num_clusters", "max_iterations", "metric"))
 def kmeans(
     key: jax.Array,
     points: jax.Array,
@@ -63,6 +65,7 @@ def kmeans(
     valid: Optional[jax.Array] = None,
     max_iterations: int = 100,
     tol: float = 1e-7,
+    metric: str = "l2",
 ) -> KMeansResult:
     n, d = points.shape
     k = num_clusters
@@ -76,7 +79,7 @@ def kmeans(
 
     def body(carry):
         centroids, _, it, _ = carry
-        labels, d_min = _assign(points, centroids, valid)
+        labels, d_min = _assign(points, centroids, valid, metric)
         sums, counts = _update(points, labels, valid, k)
 
         # Empty-cluster repair: e-th empty cluster ← e-th farthest point.
@@ -104,7 +107,7 @@ def kmeans(
         jnp.array(jnp.inf, points.dtype),
     )
     centroids, labels, it, shift = jax.lax.while_loop(cond, body, init_state)
-    labels, _ = _assign(points, centroids, valid)  # final consistent labels
+    labels, _ = _assign(points, centroids, valid, metric)  # final consistent labels
     return KMeansResult(
         centroids=centroids,
         labels=labels,

@@ -152,3 +152,37 @@ class TestConnectedComponents:
         )
         cc = connected_components(nb, edge_mask=em)
         assert int(cc.num_components) == 2
+
+
+def test_kmeans_custom_metric(rng):
+    """k-means with the L1 and SO2 metrics (reference kmeans.hpp:9-13)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cilantro_tpu.clustering import kmeans
+
+    blobs = np.concatenate(
+        [c + rng.normal(0, 0.05, (100, 2)) for c in ([0, 0], [2, 0], [0, 2])]
+    ).astype(np.float32)
+    res = kmeans(jax.random.PRNGKey(0), jnp.asarray(blobs), 3, metric="l1")
+    labels = np.asarray(res.labels)
+    true = np.repeat(np.arange(3), 100)
+    purity = sum(
+        np.unique(labels[true == t], return_counts=True)[1].max()
+        for t in range(3)
+    )
+    assert purity >= 295
+
+    # SO2: angles on a circle, three angular clusters incl. wraparound.
+    angs = np.concatenate(
+        [c + rng.normal(0, 0.1, 80) for c in (0.0, 2.0, -2.0)]
+    ).astype(np.float32)[:, None]
+    res2 = kmeans(jax.random.PRNGKey(1), jnp.asarray(angs), 3, metric="so2")
+    labels2 = np.asarray(res2.labels)
+    true2 = np.repeat(np.arange(3), 80)
+    purity2 = sum(
+        np.unique(labels2[true2 == t], return_counts=True)[1].max()
+        for t in range(3)
+    )
+    assert purity2 >= 230
