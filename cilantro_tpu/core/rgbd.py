@@ -217,7 +217,10 @@ def _zbuffer_winner(
     levels = float(1 << (31 - idx_bits))
     pix = jnp.where(ok, v * w + u, 0)
     z_max = jnp.max(jnp.where(ok, z, 0.0)) + 1e-6
-    zq = jnp.clip(z * (levels / z_max), 0, levels - 1).astype(jnp.int32)
+    # Clip to levels-2: a full group's last row with zq == levels-1 would
+    # otherwise produce an all-ones key equal to the invalid sentinel and
+    # its pixel would be misreported as empty.
+    zq = jnp.clip(z * (levels / z_max), 0, levels - 2).astype(jnp.int32)
     tgt_all = jnp.where(ok, pix, h * w)
     inval = jnp.int32(2**31 - 1)
 

@@ -267,23 +267,24 @@ def combine_metric_correspondences(
     their results into the gathered arrays + two weight channels the GN
     estimators consume.
 
-    Returns ``(dst_pts (Q, D), dst_nrm (Q, D), w_point (Q,), w_plane (Q,))``
-    — pass straight to ``estimate_rigid_combined_metric(...,
-    point_weights=w_point, plane_weights=w_plane)``. Where the two engines
-    matched different targets for the same query, each metric keeps its own
-    gather: the plane channel follows ``corr_plane``, the point channel
-    contributes through ``corr_point``'s target positions, exactly like the
-    reference's two independent correspondence vectors.
+    Returns ``(dst (2Q, D), nrm (2Q, D), w_point (2Q,), w_plane (2Q,))`` —
+    the two metrics' correspondence sets STACKED (rows [0, Q) carry the
+    point metric against ``corr_point``'s targets with the plane weight
+    zeroed; rows [Q, 2Q) carry the plane metric against ``corr_plane``'s
+    targets + normals with the point weight zeroed), exactly the
+    reference's two independent correspondence vectors. Pass the source
+    tiled twice: ``estimate_rigid_combined_metric(jnp.concatenate([s, s]),
+    dst, nrm, point_weights=w_point, plane_weights=w_plane)``.
     """
-    # Plane rows anchor the gathered targets (the dominant metric in every
-    # reference preset); point rows reuse them when the engines agree and
-    # fall back to their own gather when they don't.
-    idx_pl = corr_plane.dst_idx
-    idx_pp = corr_point.dst_idx
-    same = idx_pl == idx_pp
-    dst_pl = dst_points[idx_pl]
-    dst_pp = jnp.where(same[:, None], dst_pl, dst_points[idx_pp])
-    nrm = dst_normals[idx_pl]
-    w_plane = corr_plane.weights * plane_weight
-    w_point = corr_point.weights * point_weight
-    return dst_pp, nrm, w_point, w_plane
+    q = corr_point.dst_idx.shape[0]
+    zeros = jnp.zeros(q, dst_points.dtype)
+    dst = jnp.concatenate(
+        [dst_points[corr_point.dst_idx], dst_points[corr_plane.dst_idx]]
+    )
+    nrm = jnp.concatenate(
+        [jnp.zeros((q, dst_points.shape[1]), dst_points.dtype),
+         dst_normals[corr_plane.dst_idx]]
+    )
+    w_point = jnp.concatenate([corr_point.weights * point_weight, zeros])
+    w_plane = jnp.concatenate([zeros, corr_plane.weights * plane_weight])
+    return dst, nrm, w_point, w_plane

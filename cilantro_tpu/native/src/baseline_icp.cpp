@@ -230,8 +230,10 @@ int baseline_icp(const float* src, const float* dst, const float* dst_normals,
     double new_rot[3][3];
     mat_mul3(dr, rot, new_rot);
     std::memcpy(rot, new_rot, sizeof(rot));
+    const double t_old[3] = {tr[0], tr[1], tr[2]};
     for (int r = 0; r < 3; r++)
-      tr[r] = dr[r][0] * tr[0] + dr[r][1] * tr[1] + dr[r][2] * tr[2] + x[3 + r];
+      tr[r] = dr[r][0] * t_old[0] + dr[r][1] * t_old[1] +
+              dr[r][2] * t_old[2] + x[3 + r];
     double step = 0;
     for (int a = 0; a < 6; a++) step += x[a] * x[a];
     if (std::sqrt(step) < conv_tol) {

@@ -114,6 +114,11 @@ def radius_search(
     ``'grid'`` (:func:`..gridhash.radius_search_grid`), or ``'brute'``.
     """
     d = queries.shape[1]
+    if backend == "grid" and (metric != "l2" or d not in (2, 3)):
+        raise ValueError(
+            "backend='grid' supports the L2 metric in 2D/3D only "
+            f"(got metric={metric!r}, D={d})"
+        )
     use_grid = backend == "grid" or (
         backend == "auto"
         and metric == "l2"

@@ -28,6 +28,7 @@ class FusionCheckpoint:
     next_frame: int  # index of the first unprocessed frame
     index_map: Optional[np.ndarray]  # (H, W) cached render, or None
     graph: Optional[KeyframeGraph]
+    icp_iterations: Optional[np.ndarray] = None  # per processed frame
 
     def fusion_map(self) -> FusionMap:
         import jax.numpy as jnp
@@ -43,6 +44,7 @@ def save_checkpoint(
     *,
     index_map=None,
     graph: Optional[KeyframeGraph] = None,
+    icp_iterations=None,
 ) -> None:
     """Serialize the fusion carry (+ optional keyframe graph) to ``path``."""
     arrays = {
@@ -50,6 +52,8 @@ def save_checkpoint(
         "poses": np.stack([np.asarray(p) for p in poses]),
         "next_frame": np.asarray(next_frame, np.int64),
     }
+    if icp_iterations is not None:
+        arrays["icp_iterations"] = np.asarray(icp_iterations, np.int32)
     if index_map is not None:
         arrays["index_map"] = np.asarray(index_map)
     if graph is not None:
@@ -99,4 +103,7 @@ def load_checkpoint(path: str) -> FusionCheckpoint:
             next_frame=int(z["next_frame"]),
             index_map=z["index_map"] if "index_map" in z else None,
             graph=graph,
+            icp_iterations=(
+                z["icp_iterations"] if "icp_iterations" in z else None
+            ),
         )

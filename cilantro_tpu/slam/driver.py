@@ -90,7 +90,11 @@ def run_fusion_sequence(
 
         pose = from_matrix(jnp.asarray(ck.poses[-1]))
         poses_dev = [jnp.asarray(p) for p in ck.poses]
-        iters_dev = [jnp.int32(0)] * len(ck.poses)
+        iters_dev = (
+            [jnp.int32(i) for i in ck.icp_iterations]
+            if ck.icp_iterations is not None
+            else [jnp.int32(0)] * len(ck.poses)
+        )
         imap = (
             jnp.asarray(ck.index_map) if ck.index_map is not None else None
         )
@@ -130,6 +134,7 @@ def run_fusion_sequence(
                 [np.asarray(p) for p in poses_dev],
                 fi + 1,
                 index_map=imap,
+                icp_iterations=[int(i) for i in iters_dev],
             )
     # One sync at the end bounds the whole pipeline.
     n_map = int(fmap.num_points())
@@ -141,6 +146,7 @@ def run_fusion_sequence(
             [np.asarray(p) for p in poses_dev],
             len(depths),
             index_map=imap,
+            icp_iterations=[int(i) for i in iters_dev],
         )
 
     return fmap, FusionMetrics(

@@ -594,7 +594,12 @@ def fusion_step(
         packed_target=cached_packed_target,
     )
     new_imap = cached_index_map
-    new_packed = cached_packed_target
+    # A skipped integrate leaves the packed target keyed to an OLDER pose —
+    # its geometry is camera-frame, so reusing it at the next pose_guess
+    # would compose the ICP delta in the wrong frame. Drop it; the index-map
+    # cache stays valid (world-frame rows are re-transformed at the new
+    # pose; only winner selection is stale, the documented trade).
+    new_packed = None
     if do_integrate:
         fmap, new_imap, new_packed = integrate_frame_with_imap(
             fmap,

@@ -367,10 +367,11 @@ def test_two_engine_combined_correspondences(rng):
     d_pts, d_nrm, w_pp, w_pl = combine_metric_correspondences(
         c_pp, c_pl, dj, nj, point_weight=0.1, plane_weight=1.0
     )
+    sj2 = jnp.concatenate([sj, sj])
     tf = Transform(jnp.eye(3), jnp.zeros(3))
     for _ in range(8):
         delta, ok = estimate_rigid_combined_metric(
-            tf.apply(sj), d_pts, d_nrm,
+            tf.apply(sj2), d_pts, d_nrm,
             point_weights=w_pp, plane_weights=w_pl,
         )
         from cilantro_tpu.core.transforms import compose, reproject_rigid
