@@ -2,6 +2,7 @@ from .fusion import (  # noqa: F401
     FusionConfig,
     FusionMap,
     cleanup_map,
+    compact_map,
     empty_map,
     init_map_from_frame,
     integrate_frame,

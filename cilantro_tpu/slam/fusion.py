@@ -155,6 +155,20 @@ def radial_weights(
     return jnp.exp(-0.5 * r2 / (sigma_px * sigma_px)).reshape(-1)
 
 
+def compact_map(fmap: FusionMap) -> FusionMap:
+    """Move valid rows to the leading slots (stable), freeing the tail.
+
+    This is how carved holes are reclaimed under the default tail-append
+    augment allocator (see :class:`FusionConfig`): run occasionally (e.g. at
+    keyframes or checkpoints) — one stable sort + one row gather, far
+    cheaper than per-frame hole tracking. Point order among valid rows is
+    preserved, so renders and fusion behavior are unchanged up to slot ids.
+    """
+    free = ~fmap.valid
+    order = jnp.argsort(free, stable=True)  # valid first, stable
+    return FusionMap(data=fmap.data[order])
+
+
 def cleanup_map(fmap: FusionMap, confidence_thresh: float = 3.0) -> FusionMap:
     """Drop low-confidence points (the reference's 's'-key cleanup callback,
     ``fusion.cpp:32-40,104-105``)."""

@@ -226,3 +226,23 @@ class TestFusion:
         assert (new_exact < top_old).any()
         # Same number of surviving+new points in both modes.
         assert abs(int(v_exact.sum()) - int(v_tail.sum())) <= 100
+
+    def test_compact_map(self):
+        """compact_map moves valid rows to the front (stable) so the tail
+        allocator can reclaim carved holes."""
+        from cilantro_tpu.slam import compact_map
+
+        pts, nrm, valid = frame_from_depth(wavy_depth())
+        fmap = init_map_from_frame(H * W * 2, pts, nrm, None, valid)
+        v = np.asarray(fmap.valid).copy()
+        holes = np.flatnonzero(v)[10:200:3]
+        v[holes] = False
+        fmap = fmap.replace_fields(valid=jnp.asarray(v))
+        n0 = int(fmap.num_points())
+        before = np.asarray(fmap.points)[np.asarray(fmap.valid)]
+        cm = compact_map(fmap)
+        assert int(cm.num_points()) == n0
+        vc = np.asarray(cm.valid)
+        assert vc[:n0].all() and not vc[n0:].any()  # contiguous prefix
+        after = np.asarray(cm.points)[:n0]
+        np.testing.assert_array_equal(after, before)  # stable order
