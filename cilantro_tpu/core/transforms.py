@@ -161,6 +161,20 @@ def reproject_rigid(tf: Transform) -> Transform:
 # ---------------------------------------------------------------------------
 
 
+def skew3(v: jax.Array) -> jax.Array:
+    """Cross-product matrix ``[v]×`` for ``v (..., 3)`` → ``(..., 3, 3)``."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([zero, -z, y], -1),
+            jnp.stack([z, zero, -x], -1),
+            jnp.stack([-y, x, zero], -1),
+        ],
+        -2,
+    )
+
+
 def rot2d(theta: jax.Array, dtype=jnp.float32) -> jax.Array:
     c, s = jnp.cos(theta), jnp.sin(theta)
     return jnp.stack(

@@ -178,7 +178,7 @@ def radius_search_grid(
     qidx_p = _pad_rows(qperm, tile, 0).reshape(n_qt, tile)
 
     def per_query_tile(args):
-        q_tile, q_ok, q_orig, ksel, ksel_ok = args
+        q_tile, q_orig, ksel, ksel_ok = args
         cand = kblocks[ksel].reshape(K * tile, d)  # block gather
         cand_idx = kib[ksel].reshape(K * tile)
         cand_ok = (kvb[ksel] & ksel_ok[:, None]).reshape(K * tile)
@@ -203,7 +203,7 @@ def radius_search_grid(
         return -neg, idx, n_in
 
     dist_s, idx_s, n_in_s = jax.lax.map(
-        per_query_tile, (qblocks, qvb, qidx_p, sel, sel_ok)
+        per_query_tile, (qblocks, qidx_p, sel, sel_ok)
     )
     dist_s = dist_s.reshape(-1, cap)[:qn]
     idx_s = idx_s.reshape(-1, cap)[:qn]
@@ -213,8 +213,13 @@ def radius_search_grid(
         | (n_in_s > cap)
     )
 
-    # Undo the query permutation.
-    inv = jnp.argsort(qperm).astype(jnp.int32)
+    # Undo the query permutation (scatter-based inverse: a 1-channel scatter
+    # is ~3× cheaper than a second sort on TPU).
+    inv = (
+        jnp.zeros((qn,), jnp.int32)
+        .at[qperm]
+        .set(jnp.arange(qn, dtype=jnp.int32), unique_indices=True)
+    )
     dist = dist_s[inv]
     idx = idx_s[inv]
     over = over_s[inv]

@@ -34,6 +34,7 @@ from ..core.transforms import (
     axis_angle_to_rotation,
     compose,
     rot2d,
+    skew3,
 )
 
 _EPS = 1e-12
@@ -148,19 +149,7 @@ def _gn_accumulate_3d(
     # --- point-to-point block ---------------------------------------------
     # J = [−[s]× | I]; accumulate blockwise instead of materializing (N,3,6).
     # JᵀJ = [[ SᵀS_xx,  S_x ], [ S_xᵀ, Σw I ]] with S_x = Σ w (−[s]×)ᵀ = Σ w [s]×.
-    def skew(v):
-        x, y, z = v[..., 0], v[..., 1], v[..., 2]
-        zero = jnp.zeros_like(x)
-        return jnp.stack(
-            [
-                jnp.stack([zero, -z, y], -1),
-                jnp.stack([z, zero, -x], -1),
-                jnp.stack([-y, x, zero], -1),
-            ],
-            -2,
-        )
-
-    sk = skew(p)  # (N, 3, 3); J_ω = −sk
+    sk = skew3(p)  # (N, 3, 3); J_ω = −sk
     r_pp = src - dst  # (N, 3)
     # ω-ω block: Σ w skᵀ sk
     jtj_ww = jnp.einsum("n,nki,nkj->ij", w_pp, sk, sk)

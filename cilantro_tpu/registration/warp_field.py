@@ -383,17 +383,7 @@ def estimate_warp_field(
         use_block_precond = (not affine) and d == 3
 
         if use_block_precond:
-            def _skew_rows(v):
-                x_, y_, z_ = v[..., 0], v[..., 1], v[..., 2]
-                zero = jnp.zeros_like(x_)
-                return jnp.stack(
-                    [
-                        jnp.stack([zero, -z_, y_], -1),
-                        jnp.stack([z_, zero, -x_], -1),
-                        jnp.stack([-y_, x_, zero], -1),
-                    ],
-                    -2,
-                )
+            from ..core.transforms import skew3 as _skew_rows
 
             def _row_block(pts):
                 """B = [∂/∂ω | ∂/∂t] = [−[pts]× | I] with shape (..., 3, 6)."""

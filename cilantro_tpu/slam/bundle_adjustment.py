@@ -42,22 +42,10 @@ from ..core.transforms import (
     Transform,
     axis_angle_to_rotation,
     project_to_rotation,
+    skew3 as _skew,
 )
 
 _EPS = 1e-12
-
-
-def _skew(v):
-    x, y, z = v[..., 0], v[..., 1], v[..., 2]
-    zero = jnp.zeros_like(x)
-    return jnp.stack(
-        [
-            jnp.stack([zero, -z, y], -1),
-            jnp.stack([z, zero, -x], -1),
-            jnp.stack([-y, x, zero], -1),
-        ],
-        -2,
-    )
 
 
 def _ba_blocks(poses, landmarks, cam_idx, lmk_idx, obs, w, num_landmarks):

@@ -84,8 +84,6 @@ def run_fusion_sequence(
     if resume_from is not None:
         ck = load_checkpoint(resume_from)
         fmap = ck.fusion_map()
-        from .fusion import FusionMap as _FM  # noqa: F401
-
         from ..core.transforms import from_matrix
 
         pose = from_matrix(jnp.asarray(ck.poses[-1]))
