@@ -5,3 +5,15 @@ from .offline import (  # noqa: F401
     dump_artifacts,
     auto_camera,
 )
+from .interactive import (  # noqa: F401
+    RenderingProperties,
+    Renderable,
+    PointCloudRenderable,
+    PointCorrespondencesRenderable,
+    CoordinateFrameRenderable,
+    CameraFrustumRenderable,
+    TriangleMeshRenderable,
+    TextRenderable,
+    Visualizer,
+    ImageViewer,
+)
