@@ -31,3 +31,7 @@ from .checkpoint import (  # noqa: F401
     load_checkpoint,
     save_checkpoint,
 )
+from .pipeline import (  # noqa: F401
+    make_pipeline_mesh,
+    run_fusion_sequence_pipelined,
+)

@@ -286,36 +286,12 @@ def run_fusion_sequence_scanned(
 
     @_partial(jax.jit, static_argnames=())
     def run(fmap0, depth_stack):
-        from ..core.rgbd import _zbuffer_winner
-        from ..core.transforms import inverse as _inverse
+        from .fusion import seed_localize_target
 
-        imap0, _ = _zbuffer_winner(
-            fmap0.points, fmap0.valid, intrinsics, h, w
-        )
         pose0 = identity(3)
         # Initial packed localize target from the seed render (thereafter
         # each integrate emits the next one for free).
-        hit = imap0.reshape(-1)
-        ok = hit >= 0
-        rows0 = jnp.where(
-            ok[:, None], fmap0.data[jnp.where(ok, hit, 0)], 0.0
-        )
-        ok &= rows0[:, 10] > 0.5
-        cam0 = _inverse(pose0)
-        flag0 = ok.astype(jnp.float32)[:, None]
-        packed0 = jnp.where(
-            ok[:, None],
-            jnp.concatenate(
-                [
-                    cam0.apply(rows0[:, 0:3]),
-                    cam0.apply_normals(rows0[:, 3:6]),
-                    flag0,
-                    jnp.zeros_like(flag0),
-                ],
-                axis=1,
-            ),
-            0.0,
-        )
+        imap0, packed0 = seed_localize_target(fmap0, pose0, intrinsics, h, w)
 
         def step(carry, depth):
             fmap, pose, imap, packed = carry

@@ -555,6 +555,44 @@ def integrate_frame(*args, **kwargs) -> FusionMap:
     return fmap
 
 
+def seed_localize_target(
+    fmap: FusionMap,
+    pose: Transform,
+    intrinsics: CameraIntrinsics,
+    height: int,
+    width: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Initial (index map, packed camera-frame localize target) from a fresh
+    render of the map at ``pose`` — what :func:`fusion_step` otherwise gets
+    for free from the previous integrate. Used to seed scanned/pipelined
+    whole-sequence drivers."""
+    from ..core.transforms import inverse as _inverse
+
+    cam = _inverse(pose)
+    imap, _ = _zbuffer_winner(
+        cam.apply(fmap.points), fmap.valid, intrinsics, height, width
+    )
+    hit = imap.reshape(-1)
+    ok = hit >= 0
+    rows = jnp.where(ok[:, None], fmap.data[jnp.where(ok, hit, 0)], 0.0)
+    ok &= rows[:, 10] > 0.5
+    flag = ok.astype(jnp.float32)[:, None]
+    packed = jnp.where(
+        ok[:, None],
+        jnp.concatenate(
+            [
+                cam.apply(rows[:, 0:3]),
+                cam.apply_normals(rows[:, 3:6]),
+                flag,
+                jnp.zeros_like(flag),
+            ],
+            axis=1,
+        ),
+        0.0,
+    )
+    return imap, packed
+
+
 @partial(
     jax.jit, static_argnames=("height", "width", "cfg", "do_integrate")
 )
