@@ -41,6 +41,8 @@ from ..slam.fusion import (
     FusionConfig,
     _MAP_WIDTH,
     _classify_and_build_rows,
+    _conf_col,
+    _valid_col,
 )
 
 _INT_MAX = 2**31 - 1  # plain int: no device constants at import time
@@ -52,7 +54,7 @@ def _local_render(data_local, base, intrinsics, cam_from_world, h, w, axis):
     Returns ``(widx (H·W,) global winner index or -1, wdepth (H·W,))`` —
     replicated (identical on every shard after the collectives)."""
     pts_w = data_local[:, 0:3]
-    valid = data_local[:, 10] > 0.5
+    valid = data_local[:, _valid_col(data_local.shape[1])] > 0.5
     pts_cam = cam_from_world.apply(pts_w)
     imap, mdepth = _zbuffer_winner(pts_cam, valid, intrinsics, h, w)
     li = imap.reshape(-1)
@@ -122,7 +124,7 @@ def sharded_fusion_step(
             data, base, intrinsics, cam_g, height, width, axis
         )
         mimg, _, _ = _model_image(data, base, widx, axis)
-        ok = (widx >= 0) & (mimg[:, 10] > 0.5)
+        ok = (widx >= 0) & (mimg[:, _valid_col(mimg.shape[1])] > 0.5)
         pts_cam = cam_g.apply(mimg[:, 0:3])
         nrm_cam = cam_g.apply_normals(mimg[:, 3:6])
         flag = ok.astype(jnp.float32)[:, None]
@@ -197,7 +199,7 @@ def sharded_fusion_step(
 
         # Augment dealing: pixel i with augment rank r goes to shard
         # r % nshards, claiming that shard's (r // nshards)-th free slot.
-        valid_local = data[:, 10] > 0.5
+        valid_local = data[:, _valid_col(data.shape[1])] > 0.5
         free = ~valid_local
         rank_of_slot = jnp.cumsum(free.astype(jnp.int32)) - 1
         cap_ids = jnp.arange(c_local, dtype=jnp.int32)
@@ -291,16 +293,18 @@ def init_sharded_map(
         else np.ones(len(pts), np.float32)
     )
     n = min(len(pts), capacity)
-    data = np.zeros((capacity, _MAP_WIDTH), np.float32)
+    w = _MAP_WIDTH  # see fusion.py: width 16 measures faster end-to-end
+    data = np.zeros((capacity, w), np.float32)
     data[:, 0:3] = 1e30
     c_local = capacity // nshards
     idx = np.arange(n)
     slots = (idx % nshards) * c_local + idx // nshards
     data[slots, 0:3] = pts[:n]
     data[slots, 3:6] = nrm[:n]
-    data[slots, 6:9] = cols[:n]
-    data[slots, 9] = conf[:n]
-    data[slots, 10] = 1.0
+    if frame_colors is not None:
+        data[slots, 6:9] = cols[:n]
+    data[slots, _conf_col(w)] = conf[:n]
+    data[slots, _valid_col(w)] = 1.0
     return jax.device_put(
         jnp.asarray(data), NamedSharding(mesh, P(axis, None))
     )

@@ -42,7 +42,23 @@ from ..core.transforms import Transform, compose, inverse
 from ..registration.icp import ICPResult, icp_projective_packed
 
 
-_MAP_WIDTH = 16  # packed row: [pts 0:3 | nrm 3:6 | col 6:9 | conf 9 | valid 10]
+# Packed pool rows come in two widths. The isolated 307k-row combined
+# scatter is ~25% cheaper at width 8 (17.0 vs 22.5 ms) but the FULL fusion
+# pipeline measures FASTER at width 16 (29.6 vs 33.3 ms/frame @640×480) —
+# the narrower pool loses more on gathers/layout than the scatter saves, so
+# width 16 is the default and width 8 an opt-in memory saver:
+#   width 16 (colors):  [pts 0:3 | nrm 3:6 | col 6:9 | conf 9  | valid 10]
+#   width  8 (no col):  [pts 0:3 | nrm 3:6 |           conf 6  | valid 7 ]
+_MAP_WIDTH = 16
+_MAP_WIDTH_NC = 8
+
+
+def _conf_col(width: int) -> int:
+    return 6 if width == _MAP_WIDTH_NC else 9
+
+
+def _valid_col(width: int) -> int:
+    return 7 if width == _MAP_WIDTH_NC else 10
 
 
 @jax.tree_util.register_dataclass
@@ -58,7 +74,7 @@ class FusionMap:
     are exposed as properties (zero-copy slices under jit).
     """
 
-    data: jax.Array  # (C, 16)
+    data: jax.Array  # (C, 16) with colors / (C, 8) without
 
     @property
     def points(self) -> jax.Array:
@@ -69,16 +85,18 @@ class FusionMap:
         return self.data[:, 3:6]
 
     @property
-    def colors(self) -> jax.Array:
+    def colors(self) -> Optional[jax.Array]:
+        if self.data.shape[1] == _MAP_WIDTH_NC:
+            return None
         return self.data[:, 6:9]
 
     @property
     def confidence(self) -> jax.Array:
-        return self.data[:, 9]
+        return self.data[:, _conf_col(self.data.shape[1])]
 
     @property
     def valid(self) -> jax.Array:
-        return self.data[:, 10] > 0.5
+        return self.data[:, _valid_col(self.data.shape[1])] > 0.5
 
     @property
     def capacity(self) -> int:
@@ -92,12 +110,14 @@ class FusionMap:
         cls, points, normals, colors, confidence, valid
     ) -> "FusionMap":
         c = points.shape[0]
-        data = jnp.zeros((c, _MAP_WIDTH), jnp.float32)
+        w = _MAP_WIDTH_NC if colors is None else _MAP_WIDTH
+        data = jnp.zeros((c, w), jnp.float32)
         data = data.at[:, 0:3].set(points)
         data = data.at[:, 3:6].set(normals)
-        data = data.at[:, 6:9].set(colors)
-        data = data.at[:, 9].set(confidence)
-        data = data.at[:, 10].set(valid.astype(jnp.float32))
+        if colors is not None:
+            data = data.at[:, 6:9].set(colors)
+        data = data.at[:, _conf_col(w)].set(confidence)
+        data = data.at[:, _valid_col(w)].set(valid.astype(jnp.float32))
         return cls(data=data)
 
     def replace_fields(self, **kw) -> "FusionMap":
@@ -179,8 +199,9 @@ def cleanup_map(fmap: FusionMap, confidence_thresh: float = 3.0) -> FusionMap:
     )
 
 
-def empty_map(capacity: int) -> FusionMap:
-    data = jnp.zeros((capacity, _MAP_WIDTH), jnp.float32)
+def empty_map(capacity: int, with_colors: bool = True) -> FusionMap:
+    w = _MAP_WIDTH if with_colors else _MAP_WIDTH_NC
+    data = jnp.zeros((capacity, w), jnp.float32)
     data = data.at[:, 0:3].set(1e30)
     return FusionMap(data=data)
 
@@ -193,31 +214,38 @@ def init_map_from_frame(
     frame_valid: jax.Array,
     pose: Optional[Transform] = None,
     confidence: Optional[jax.Array] = None,
+    with_color_slots: Optional[bool] = None,
 ) -> FusionMap:
     """Seed the model with the first frame (world frame = first camera).
 
     ``confidence`` defaults to 1; pass :func:`radial_weights` to mirror the
     reference, whose first frame enters through the augment path with
-    confidence = radial weight (``fusion.cpp:212-217``)."""
-    m = empty_map(capacity)
+    confidence = radial weight (``fusion.cpp:212-217``).
+    ``with_color_slots`` picks the pool layout explicitly. Default: the
+    (C, 16) layout even without colors — measured end-to-end it beats the
+    narrower (C, 8) pool (29.6 vs 33.3 ms/frame at 640×480) despite the
+    isolated combined scatter being ~25% cheaper at width 8; opt into
+    ``False`` to halve pool memory."""
+    if with_color_slots is None:
+        with_color_slots = True
+    if frame_colors is not None and not with_color_slots:
+        raise ValueError("with_color_slots=False but frame_colors given")
+    m = empty_map(capacity, with_colors=with_color_slots)
+    w = m.data.shape[1]
     n = frame_points.shape[0]
     assert n <= capacity
     pts = frame_points if pose is None else pose.apply(frame_points)
     nrm = frame_normals if pose is None else pose.apply_normals(frame_normals)
-    cols = (
-        frame_colors
-        if frame_colors is not None
-        else jnp.zeros((n, 3), jnp.float32)
-    )
     conf = frame_valid.astype(jnp.float32)
     if confidence is not None:
         conf = conf * confidence
-    rows = jnp.zeros((n, _MAP_WIDTH), jnp.float32)
+    rows = jnp.zeros((n, w), jnp.float32)
     rows = rows.at[:, 0:3].set(jnp.where(frame_valid[:, None], pts, 1e30))
     rows = rows.at[:, 3:6].set(nrm)
-    rows = rows.at[:, 6:9].set(cols)
-    rows = rows.at[:, 9].set(conf)
-    rows = rows.at[:, 10].set(frame_valid.astype(jnp.float32))
+    if frame_colors is not None:
+        rows = rows.at[:, 6:9].set(frame_colors)
+    rows = rows.at[:, _conf_col(w)].set(conf)
+    rows = rows.at[:, _valid_col(w)].set(frame_valid.astype(jnp.float32))
     return FusionMap(data=m.data.at[:n].set(rows))
 
 
@@ -262,7 +290,7 @@ def localize(
         hit = index_map.reshape(-1)
         ok = hit >= 0
         rows = fmap.data[jnp.where(ok, hit, 0)]
-        ok &= rows[:, 10] > 0.5
+        ok &= rows[:, _valid_col(rows.shape[1])] > 0.5
         rows = jnp.where(ok[:, None], rows, 0.0)  # keep masked lanes finite
         pts_cam = cam_from_world.apply(rows[:, 0:3])
         nrm_cam = cam_from_world.apply_normals(rows[:, 3:6])
@@ -332,10 +360,11 @@ def _classify_and_build_rows(
 
     radial = radial_weights(height, width, intrinsics, cfg.radial_sigma_px)
 
+    w = mrows.shape[1]
     m_pts_w = mrows[:, 0:3]
     m_nrm_w = mrows[:, 3:6]
-    m_cols = mrows[:, 6:9]
-    c_old = mrows[:, 9]
+    m_cols = mrows[:, 6:9] if w == _MAP_WIDTH else None
+    c_old = mrows[:, _conf_col(w)]
     m_pts_cam = cam_from_world.apply(m_pts_w)
     model_nrm_cam_px = cam_from_world.apply_normals(m_nrm_w)
 
@@ -384,11 +413,6 @@ def _classify_and_build_rows(
     # (fusion.cpp:215); carve: dead row (points parked at 1e30).
     pts_w = pose.apply(frame_points)
     nrm_w = pose.apply_normals(frame_normals)
-    cols = (
-        frame_colors
-        if frame_colors is not None
-        else jnp.zeros_like(frame_points)
-    )
     npix = mrows.shape[0]
     w_f = radial / jnp.maximum(radial + c_old, 1e-30)
     fused_nrm = m_nrm_w * (1.0 - w_f[:, None]) + nrm_w * w_f[:, None]
@@ -396,22 +420,27 @@ def _classify_and_build_rows(
         jnp.linalg.norm(fused_nrm, axis=-1, keepdims=True), 1e-30
     )
     one = jnp.ones((npix, 1), jnp.float32)
-    zeros_tail = jnp.zeros((npix, _MAP_WIDTH - 11), jnp.float32)
+    zeros_tail = jnp.zeros((npix, w - _conf_col(w) - 2), jnp.float32)
+    fuse_parts = [
+        m_pts_w * (1.0 - w_f[:, None]) + pts_w * w_f[:, None],
+        fused_nrm,
+    ]
+    aug_parts = [pts_w, nrm_w]
+    if w == _MAP_WIDTH:
+        cols = (
+            frame_colors
+            if frame_colors is not None
+            else jnp.zeros_like(frame_points)
+        )
+        fuse_parts.append(m_cols * (1.0 - w_f[:, None]) + cols * w_f[:, None])
+        aug_parts.append(cols)
     fuse_rows = jnp.concatenate(
-        [
-            m_pts_w * (1.0 - w_f[:, None]) + pts_w * w_f[:, None],
-            fused_nrm,
-            m_cols * (1.0 - w_f[:, None]) + cols * w_f[:, None],
-            (c_old + w_f)[:, None],
-            one,
-            zeros_tail,
-        ],
-        axis=1,
+        fuse_parts + [(c_old + w_f)[:, None], one, zeros_tail], axis=1
     )
     aug_rows = jnp.concatenate(
-        [pts_w, nrm_w, cols, radial[:, None], one, zeros_tail], axis=1
+        aug_parts + [radial[:, None], one, zeros_tail], axis=1
     )
-    carve_row = jnp.zeros((_MAP_WIDTH,), jnp.float32).at[0:3].set(1e30)
+    carve_row = jnp.zeros((w,), jnp.float32).at[0:3].set(1e30)
     return do_fuse, do_augment, do_carve, fuse_rows, aug_rows, carve_row
 
 
@@ -432,6 +461,11 @@ def integrate_frame_with_imap(
     """Fuse / augment / carve one organized frame into the model
     (``fusion.cpp:148-238``). Returns ``(map, index_map)`` — the render at
     ``pose`` doubles as the next frame's localize target."""
+    if frame_colors is not None and fmap.data.shape[1] == _MAP_WIDTH_NC:
+        raise ValueError(
+            "map was initialized without colors (width-8 pool); "
+            "re-init with frame_colors to fuse colors"
+        )
     cam_from_world = inverse(pose)
     model_cam = cam_from_world.apply(fmap.points)
 
@@ -533,7 +567,10 @@ def integrate_frame_with_imap(
     # use their post-update rows, carved pixels drop out; augments (not in
     # this render) appear one frame later, as with any cached render.
     post_rows = jnp.where(do_fuse[:, None], fuse_rows, mrows)
-    alive = m_ok & ~do_carve & (post_rows[:, 10] > 0.5)
+    alive = (
+        m_ok & ~do_carve
+        & (post_rows[:, _valid_col(post_rows.shape[1])] > 0.5)
+    )
     pts_cam_post = cam_from_world.apply(post_rows[:, 0:3])
     nrm_cam_post = cam_from_world.apply_normals(post_rows[:, 3:6])
     flag = alive.astype(jnp.float32)[:, None]
@@ -575,7 +612,7 @@ def seed_localize_target(
     hit = imap.reshape(-1)
     ok = hit >= 0
     rows = jnp.where(ok[:, None], fmap.data[jnp.where(ok, hit, 0)], 0.0)
-    ok &= rows[:, 10] > 0.5
+    ok &= rows[:, _valid_col(rows.shape[1])] > 0.5
     flag = ok.astype(jnp.float32)[:, None]
     packed = jnp.where(
         ok[:, None],

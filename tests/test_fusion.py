@@ -246,3 +246,69 @@ class TestFusion:
         assert vc[:n0].all() and not vc[n0:].any()  # contiguous prefix
         after = np.asarray(cm.points)[:n0]
         np.testing.assert_array_equal(after, before)  # stable order
+
+
+class TestPoolWidths:
+    """The packed pool has two layouts: (C, 16) with colors, (C, 8) without
+    (narrow rows make the combined scatter ~25% cheaper on TPU). Geometry
+    and trajectory must be identical across layouts."""
+
+    def test_width8_width16_same_geometry(self):
+        from cilantro_tpu.slam import fusion_step
+        from cilantro_tpu.slam.fusion import _valid_col
+
+        d0, d1 = wavy_depth(0.0), wavy_depth(0.35)
+        pts0, nrm0, val0 = frame_from_depth(d0)
+        pts1, nrm1, val1 = frame_from_depth(d1)
+        cap = 2 * H * W
+        colors0 = jnp.ones((H * W, 3), jnp.float32) * 0.5
+        colors1 = jnp.ones((H * W, 3), jnp.float32) * 0.8
+
+        m8 = init_map_from_frame(
+            cap, pts0, nrm0, None, val0, with_color_slots=False
+        )
+        m16 = init_map_from_frame(cap, pts0, nrm0, colors0, val0)
+        assert m8.data.shape[1] == 8 and m16.data.shape[1] == 16
+        assert m8.colors is None and m16.colors is not None
+
+        from cilantro_tpu.core.transforms import identity
+
+        pose = identity(3)
+        m8b, p8, r8, _, _ = fusion_step(
+            m8, pts1, nrm1, None, val1, pose, K, height=H, width=W,
+        )
+        m16b, p16, r16, _, _ = fusion_step(
+            m16, pts1, nrm1, colors1, val1, pose, K, height=H, width=W,
+        )
+        np.testing.assert_allclose(
+            np.asarray(p8.matrix()), np.asarray(p16.matrix()), atol=1e-6
+        )
+        d8 = np.asarray(m8b.data)
+        d16 = np.asarray(m16b.data)
+        v8 = d8[:, _valid_col(8)] > 0.5
+        v16 = d16[:, _valid_col(16)] > 0.5
+        np.testing.assert_array_equal(v8, v16)
+        np.testing.assert_allclose(d8[v8, 0:3], d16[v16, 0:3], atol=1e-6)
+        np.testing.assert_allclose(d8[v8, 3:6], d16[v16, 3:6], atol=1e-6)
+        np.testing.assert_allclose(
+            d8[v8, 6], d16[v16, 9], atol=1e-6
+        )  # confidence
+
+    def test_colors_into_width8_pool_rejected(self):
+        import pytest
+
+        from cilantro_tpu.slam import fusion_step
+
+        d0, d1 = wavy_depth(0.0), wavy_depth(0.35)
+        pts0, nrm0, val0 = frame_from_depth(d0)
+        pts1, nrm1, val1 = frame_from_depth(d1)
+        m8 = init_map_from_frame(
+            2 * H * W, pts0, nrm0, None, val0, with_color_slots=False
+        )
+        from cilantro_tpu.core.transforms import identity
+
+        with pytest.raises(ValueError, match="width-8"):
+            fusion_step(
+                m8, pts1, nrm1, jnp.zeros((H * W, 3)), val1, identity(3),
+                K, height=H, width=W,
+            )

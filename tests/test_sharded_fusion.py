@@ -18,6 +18,7 @@ from cilantro_tpu.slam import (
     init_map_from_frame,
     synthetic_sequence,
 )
+from cilantro_tpu.slam.fusion import _valid_col
 
 K = CameraIntrinsics.make(100.0, 100.0, 31.5, 23.5)
 H, W = 48, 64
@@ -62,14 +63,14 @@ class TestShardedFusion:
 
         sd = np.asarray(sdata)
         dd = np.asarray(fmap.data)
-        n_s = int((sd[:, 10] > 0.5).sum())
-        n_d = int((dd[:, 10] > 0.5).sum())
+        n_s = int((sd[:, _valid_col(sd.shape[1])] > 0.5).sum())
+        n_d = int((dd[:, _valid_col(dd.shape[1])] > 0.5).sum())
         # Same map size up to augment-placement edge effects.
         assert abs(n_s - n_d) < 0.02 * max(n_d, 1)
 
         # Same geometry: mean confidence-weighted centroid close.
-        cs = sd[sd[:, 10] > 0.5]
-        cd = dd[dd[:, 10] > 0.5]
+        cs = sd[sd[:, _valid_col(sd.shape[1])] > 0.5]
+        cd = dd[dd[:, _valid_col(dd.shape[1])] > 0.5]
         assert np.abs(cs[:, 0:3].mean(0) - cd[:, 0:3].mean(0)).max() < 1e-3
 
     def test_uneven_capacity_padding(self):
@@ -92,12 +93,13 @@ class TestShardedFusion:
                 mesh=mesh, height=H, width=W,
             )
         sd = np.asarray(sdata)
-        n_valid = int((sd[:, 10] > 0.5).sum())
+        vcol = _valid_col(sd.shape[1])
+        n_valid = int((sd[:, vcol] > 0.5).sum())
         assert n_valid <= cap
         # Pool filled up (augments landed until capacity).
         assert n_valid > 0.9 * cap
         # No NaNs / corrupted rows.
-        assert np.isfinite(sd[sd[:, 10] > 0.5]).all()
+        assert np.isfinite(sd[sd[:, vcol] > 0.5]).all()
 
     def test_sharded_render_matches_winner_semantics(self):
         """Every winner index returned by the sharded step is a valid global
