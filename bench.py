@@ -162,6 +162,53 @@ def bench_rigid_icp():
     )
 
 
+def bench_warp_field():
+    """Secondary: non-rigid EDG warp-field ICP (stderr only) — recover a
+    ~20 mm synthetic bend of frame_1 (the examples/non_rigid_icp.cpp
+    workload at the bench scale: 120k points, 2.5 cm control grid)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cilantro_tpu.core.containers import PointCloud
+    from cilantro_tpu.core.grid import grid_downsample
+    from cilantro_tpu.registration import (
+        build_deformation_graph,
+        icp_warp_field,
+        warp_points,
+    )
+    from cilantro_tpu.utils import read_point_cloud
+
+    src, _, _ = read_point_cloud(
+        "/root/reference/examples/test_clouds/frame_1.ply"
+    )
+    dst = src.copy()
+    dst[:, 2] += 0.02 * np.sin(8.0 * src[:, 0])
+    dst[:, 1] += 0.01 * np.cos(6.0 * src[:, 0])
+    srcj, dstj = jax.device_put((src, dst))
+    ctrl = grid_downsample(PointCloud(points=srcj), 0.025, capacity=16384)
+    graph = build_deformation_graph(
+        srcj, ctrl.points, node_valid=ctrl.valid, k_anchors=4, k_arcs=8
+    )
+    kw = dict(
+        max_corr_dist_sq=0.0025, point_weight=1.0, plane_weight=0.0,
+        stiffness=50.0, max_iterations=10, max_cg_iterations=200,
+    )
+    node_tf, iters, _ = icp_warp_field(graph, srcj, dstj, **kw)
+    np.asarray(node_tf.translation[:1])  # compile + settle
+    t0 = time.perf_counter()
+    node_tf, iters, _ = icp_warp_field(graph, srcj, dstj, **kw)
+    np.asarray(node_tf.translation[:1])
+    dt = time.perf_counter() - t0
+    warped = np.asarray(warp_points(graph, node_tf, srcj))
+    err = np.median(np.linalg.norm(warped - dst, axis=1))
+    log(
+        f"non-rigid EDG warp ICP (120k pts, "
+        f"{int(np.asarray(jnp.sum(ctrl.valid)))} nodes): {dt:.2f} s/solve, "
+        f"{int(iters)} outer iters, median error {err*1e3:.2f} mm "
+        f"vs ~20 mm deformation"
+    )
+
+
 def main():
     from cilantro_tpu.core import CameraIntrinsics
     from cilantro_tpu.slam import synthetic_sequence
@@ -184,6 +231,10 @@ def main():
         bench_rigid_icp()
     except Exception as e:  # secondary metric must not kill the headline
         log(f"rigid ICP bench skipped: {e}")
+    try:
+        bench_warp_field()
+    except Exception as e:
+        log(f"warp-field bench skipped: {e}")
 
     print(
         json.dumps(
