@@ -185,7 +185,10 @@ def bench_warp_field():
     dst[:, 2] += 0.02 * np.sin(8.0 * src[:, 0])
     dst[:, 1] += 0.01 * np.cos(6.0 * src[:, 0])
     srcj, dstj = jax.device_put((src, dst))
-    ctrl = grid_downsample(PointCloud(points=srcj), 0.025, capacity=16384)
+    # Capacity 1024 (837 occupied voxels at 2.5 cm) keeps the node system
+    # small enough that solver='auto' picks the dense direct path
+    # (5.42 s/solve vs 6.80 s CG at the same capacity on a v5e chip).
+    ctrl = grid_downsample(PointCloud(points=srcj), 0.025, capacity=1024)
     graph = build_deformation_graph(
         srcj, ctrl.points, node_valid=ctrl.valid, k_anchors=4, k_arcs=8
     )

@@ -226,6 +226,7 @@ def _huber_weights(r_norm, delta):
         "max_gn_iterations",
         "max_cg_iterations",
         "node_type",
+        "solver",
     ),
 )
 def estimate_warp_field(
@@ -246,6 +247,7 @@ def estimate_warp_field(
     cg_tol: float = 1e-5,
     levenberg: float = 1e-6,
     node_type: str = "rigid",
+    solver: str = "auto",
 ) -> Tuple[Transform, jax.Array]:
     """Estimate per-node transforms minimizing the combined metric plus
     stiffness-weighted sqrt-Huber arc regularization (the sparse solvers at
@@ -256,7 +258,19 @@ def estimate_warp_field(
     re-projection; ``'affine'`` uses full linear increments ``[vec(δA); δt]``
     (the locally-affine solvers, ``warp_field_estimation.hpp:717-995,1848-2236``).
 
-    Returns ``(node_transforms, converged)``.
+    ``solver``: ``'cg'`` = matrix-free preconditioned CG (any graph size);
+    ``'direct'`` = assemble the dense normal matrix (anchor-pair blocks
+    scatter-added once per GN iteration, chunked so no tile-padded
+    intermediate exceeds ~10 MB) and Cholesky-solve on the MXU. Measured
+    at EDG bench scale (120k pts, 837 nodes / 1024 capacity, v5e chip):
+    5.42 s vs 6.80 s per 10-outer-iteration solve — the per-CG-iteration
+    sparse matvec is bound by two pair-count-row reindexes at ~30 ns/row,
+    while the dense factorization rides the MXU once per GN step.
+    ``'auto'`` picks ``direct`` whenever the dense system and pair-block
+    intermediates are small enough (node capacity × params ≤ 8192).
+
+    Returns ``(node_transforms, converged, total_cg_iterations)``
+    (0 CG iterations under the direct solver).
     """
     m = graph.num_nodes
     n, d = src_points.shape
@@ -264,8 +278,22 @@ def estimate_warp_field(
     w_pp = corr_weights * point_weight
     w_pl = corr_weights * plane_weight
 
+    _affine = node_type == "affine"
+    _n_lin = d * d if _affine else (d if d == 3 else 1)
+    _n_par = _n_lin + d
+    _k_anch = graph.anchors.shape[1]
+    if solver == "auto":
+        use_direct = (
+            m * _n_par <= 8192
+            and n * _k_anch * _k_anch * _n_par * _n_par * 4 <= 1_500_000_000
+        )
+    elif solver in ("direct", "cg"):
+        use_direct = solver == "direct"
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
+
     def gn_body(carry):
-        node_tf, _, it = carry
+        node_tf, _, it, cg_total = carry
         # Current warped anchor positions y_ij = T_j(p_i).
         lin_a = node_tf.linear[graph.anchors]  # (N, K, D, D)
         tr_a = node_tf.translation[graph.anchors]
@@ -375,117 +403,252 @@ def estimate_warp_field(
 
         rhs = -Jt_apply(r_pp0, r_pl0, r_arc0)
 
-        # Preconditioner. Rigid 3D gets the TRUE block-Jacobi: the exact
-        # per-node (6,6) diagonal block of JᵀJ, assembled from per-row outer
-        # products and inverted batched — near-free per CG iteration and
-        # worth a large cut in iteration count. Other parameterizations keep
-        # the lumped-diagonal estimate.
-        use_block_precond = (not affine) and d == 3
+        def _row_blocks(pts):
+            """Row-derivative block B = d(increment applied at pts)/d(params)
+            with shape (..., D, P) — consistent with ``_lin_apply``."""
+            if affine:
+                eye = jnp.eye(d, dtype=pts.dtype)
+                blin = jnp.einsum("rs,...c->...rsc", eye, pts).reshape(
+                    pts.shape[:-1] + (d, d * d)
+                )
+                eye_b = jnp.broadcast_to(eye, pts.shape[:-1] + (d, d))
+                return jnp.concatenate([blin, eye_b], axis=-1)
+            if d == 3:
+                from ..core.transforms import skew3
 
-        if use_block_precond:
-            from ..core.transforms import skew3 as _skew_rows
-
-            def _row_block(pts):
-                """B = [∂/∂ω | ∂/∂t] = [−[pts]× | I] with shape (..., 3, 6)."""
-                eye = jnp.broadcast_to(
+                eye_b = jnp.broadcast_to(
                     jnp.eye(3, dtype=pts.dtype), pts.shape[:-1] + (3, 3)
                 )
-                return jnp.concatenate([-_skew_rows(pts), eye], axis=-1)
-
-            b_anchor = _row_block(y)  # (N, K, 3, 6)
-            blocks = w_pp[:, None, None, None] * jnp.einsum(
-                "nkdi,nkdj->nkij", b_anchor, b_anchor
+                return jnp.concatenate([-skew3(pts), eye_b], axis=-1)
+            perp = jnp.stack([-pts[..., 1], pts[..., 0]], axis=-1)[..., None]
+            eye_b = jnp.broadcast_to(
+                jnp.eye(2, dtype=pts.dtype), pts.shape[:-1] + (2, 2)
             )
-            if dst_normals is not None:
-                bn = jnp.einsum("nd,nkdi->nki", dst_normals, b_anchor)
-                blocks = blocks + w_pl[:, None, None, None] * jnp.einsum(
-                    "nki,nkj->nkij", bn, bn
+            return jnp.concatenate([perp, eye_b], axis=-1)
+
+        if use_direct:
+            # Dense normal-matrix assembly + Cholesky (see docstring). All
+            # anchor-pair (P, P) blocks scatter-add into an (M·M, P·P)
+            # accumulator once per GN iteration; the factorization runs on
+            # the MXU. No per-CG-iteration reindexes exist at all.
+            #
+            # Assembly is CHUNKED over points: a monolithic (N, K, K, P, P)
+            # intermediate tile-pads ~30× on TPU (observed 264 MB → 8.3 GB),
+            # so per-chunk blocks are built and scatter-added inside a scan.
+            p_par = n_lin + d
+            pp = p_par * p_par
+            chunk = 4096
+            n_chunks = max(1, -(-n // chunk))
+            n_pad = n_chunks * chunk
+
+            def _padc(a, fill=0.0):
+                widths = ((0, n_pad - n),) + ((0, 0),) * (a.ndim - 1)
+                return jnp.pad(a, widths, constant_values=fill)
+
+            def _chunked(a, fill=0.0):
+                return _padc(a, fill).reshape(
+                    (n_chunks, chunk) + a.shape[1:]
                 )
-            blocks = blocks * (wa**2)[..., None, None]
-            node_blocks = graph.segment_over_anchors(
-                blocks.reshape(n, -1, 36)
-            ).reshape(m, 6, 6)
+
+            nrm_src = (
+                dst_normals
+                if dst_normals is not None
+                else jnp.zeros((n, d), rhs.dtype)
+            )
+            chunk_args = (
+                _chunked(y),
+                _chunked(wa),
+                _chunked(graph.anchors, 0),
+                _chunked(w_pp),
+                _chunked(w_pl),
+                _chunked(nrm_src),
+            )
+
+            def chunk_fn(acc, args):
+                y_k, wa_k, an_k, wpp_k, wpl_k, nrm_k = args
+                bw = wa_k[..., None, None] * _row_blocks(y_k)  # (C,K,D,P)
+                pair = wpp_k[:, None, None, None, None] * jnp.einsum(
+                    "nkdp,nldq->nklpq", bw, bw
+                )
+                if dst_normals is not None:
+                    bn = jnp.einsum("nd,nkdp->nkp", nrm_k, bw)
+                    pair = pair + wpl_k[
+                        :, None, None, None, None
+                    ] * jnp.einsum("nkp,nlq->nklpq", bn, bn)
+                keys = (
+                    an_k[:, :, None] * m + an_k[:, None, :]
+                ).reshape(-1)
+                acc = acc.at[keys].add(pair.reshape(-1, pp))
+                return acc, jnp.int32(0)
+
+            acc, _ = jax.lax.scan(
+                chunk_fn, jnp.zeros((m * m, pp), rhs.dtype), chunk_args
+            )
+
             sa = (stiffness * w_arc)[:, None, None]
-            b_i = _row_block(y_jl)
-            b_j = -_row_block(y_ll)
-            node_blocks = node_blocks + jax.ops.segment_sum(
-                sa * jnp.einsum("adi,adj->aij", b_i, b_i),
-                graph.arc_i,
-                num_segments=m,
-                indices_are_sorted=True,
+            b_i = _row_blocks(y_jl)
+            b_j = -_row_blocks(y_ll)
+            arc_vals = jnp.concatenate(
+                [
+                    (sa * jnp.einsum("adp,adq->apq", b_i, b_i)).reshape(
+                        -1, pp
+                    ),
+                    (sa * jnp.einsum("adp,adq->apq", b_i, b_j)).reshape(
+                        -1, pp
+                    ),
+                    (sa * jnp.einsum("adp,adq->apq", b_j, b_i)).reshape(
+                        -1, pp
+                    ),
+                    (sa * jnp.einsum("adp,adq->apq", b_j, b_j)).reshape(
+                        -1, pp
+                    ),
+                ]
             )
-            node_blocks = node_blocks + graph.segment_over_arc_j(
-                (sa * jnp.einsum("adi,adj->aij", b_j, b_j)).reshape(-1, 36)
-            ).reshape(m, 6, 6)
-            node_blocks = node_blocks + (levenberg + 1e-8) * jnp.eye(
-                6, dtype=rhs.dtype
+            arc_keys = jnp.concatenate(
+                [
+                    graph.arc_i * m + graph.arc_i,
+                    graph.arc_i * m + graph.arc_j,
+                    graph.arc_j * m + graph.arc_i,
+                    graph.arc_j * m + graph.arc_j,
+                ]
             )
-            prec_blocks = jnp.linalg.inv(node_blocks)
+            acc = acc.at[arc_keys].add(arc_vals)
 
-            def apply_precond(r):
-                return jnp.einsum("mij,mj->mi", prec_blocks, r)
-
+            # (M, M, P, P) → (M·P, M·P) via P lane-friendly slices (a naive
+            # transpose materializes a (…, M, P) layout that pads P→128).
+            acc4 = acc.reshape(m, m, p_par, p_par)
+            h_mat = jnp.stack(
+                [
+                    acc4[:, :, q, :].reshape(m, m * p_par)
+                    for q in range(p_par)
+                ],
+                axis=1,
+            ).reshape(m * p_par, m * p_par)
+            # Damping + a unit diagonal on dead nodes (their rhs is zero, so
+            # delta stays zero; without it the system would be singular).
+            diag = (levenberg + 1e-8) + jnp.where(
+                graph.node_valid, 0.0, 1.0
+            )
+            h_mat = h_mat + jnp.diag(
+                jnp.repeat(diag, p_par, total_repeat_length=m * p_par)
+            )
+            chol = jnp.linalg.cholesky(h_mat)
+            delta = jax.scipy.linalg.cho_solve(
+                (chol, True), rhs.reshape(-1)
+            ).reshape(m, p_par)
+            cg_k = jnp.int32(0)
         else:
-            # Lumped-diagonal estimate — conditioning only, never
-            # correctness.
-            def diag_estimate():
-                w_data = w_pp + w_pl
-                ww = w_data[:, None] * wa**2  # (N, K)
-                y2 = jnp.sum(y * y, axis=-1)  # (N, K)
-                acc_w = graph.segment_over_anchors(ww * y2)
-                acc_t = graph.segment_over_anchors(ww)
-                sa = stiffness * w_arc
-                arc_w = jax.ops.segment_sum(
-                    sa * jnp.sum(y_jl * y_jl, -1), graph.arc_i,
-                    num_segments=m, indices_are_sorted=True,
-                ) + graph.segment_over_arc_j(sa * jnp.sum(y_ll * y_ll, -1))
-                arc_t = jax.ops.segment_sum(
-                    sa, graph.arc_i, num_segments=m, indices_are_sorted=True
-                ) + graph.segment_over_arc_j(sa)
-                dw_diag = jnp.broadcast_to(
-                    (acc_w + arc_w)[:, None], (m, n_lin)
+            # Preconditioner. Rigid 3D gets the TRUE block-Jacobi: the exact
+            # per-node (6,6) diagonal block of JᵀJ, assembled from per-row outer
+            # products and inverted batched — near-free per CG iteration and
+            # worth a large cut in iteration count. Other parameterizations keep
+            # the lumped-diagonal estimate.
+            use_block_precond = (not affine) and d == 3
+
+            if use_block_precond:
+                from ..core.transforms import skew3 as _skew_rows
+
+                def _row_block(pts):
+                    """B = [∂/∂ω | ∂/∂t] = [−[pts]× | I] with shape (..., 3, 6)."""
+                    eye = jnp.broadcast_to(
+                        jnp.eye(3, dtype=pts.dtype), pts.shape[:-1] + (3, 3)
+                    )
+                    return jnp.concatenate([-_skew_rows(pts), eye], axis=-1)
+
+                b_anchor = _row_block(y)  # (N, K, 3, 6)
+                blocks = w_pp[:, None, None, None] * jnp.einsum(
+                    "nkdi,nkdj->nkij", b_anchor, b_anchor
                 )
-                dt_diag = jnp.broadcast_to((acc_t + arc_t)[:, None], (m, d))
-                return jnp.concatenate([dw_diag, dt_diag], axis=1) + levenberg
-
-            precond_vec = 1.0 / jnp.maximum(diag_estimate(), _EPS)
-
-            def apply_precond(r):
-                return precond_vec * r
-
-        # Preconditioned CG on (JᵀJ + λI) δ = rhs, relative tolerance
-        # (Eigen CG semantics, ``warp_field_estimation.hpp:188-192``).
-        def cg(rhs):
-            rhs_norm2 = jnp.sum(rhs * rhs)
-            x0 = jnp.zeros_like(rhs)
-            r0 = rhs
-            z0 = apply_precond(r0)
-            p0 = z0
-            rz0 = jnp.sum(r0 * z0)
-
-            def cg_body(carry):
-                xk, rk, pk, rzk, k = carry
-                ap = normal_matvec(pk)
-                alpha = rzk / jnp.maximum(jnp.sum(pk * ap), _EPS)
-                xk1 = xk + alpha * pk
-                rk1 = rk - alpha * ap
-                zk1 = apply_precond(rk1)
-                rzk1 = jnp.sum(rk1 * zk1)
-                beta = rzk1 / jnp.maximum(rzk, _EPS)
-                return xk1, rk1, zk1 + beta * pk, rzk1, k + 1
-
-            def cg_cond(carry):
-                _, rk, _, _, k = carry
-                return (k < max_cg_iterations) & (
-                    jnp.sum(rk * rk) > cg_tol * cg_tol * rhs_norm2
+                if dst_normals is not None:
+                    bn = jnp.einsum("nd,nkdi->nki", dst_normals, b_anchor)
+                    blocks = blocks + w_pl[:, None, None, None] * jnp.einsum(
+                        "nki,nkj->nkij", bn, bn
+                    )
+                blocks = blocks * (wa**2)[..., None, None]
+                node_blocks = graph.segment_over_anchors(
+                    blocks.reshape(n, -1, 36)
+                ).reshape(m, 6, 6)
+                sa = (stiffness * w_arc)[:, None, None]
+                b_i = _row_block(y_jl)
+                b_j = -_row_block(y_ll)
+                node_blocks = node_blocks + jax.ops.segment_sum(
+                    sa * jnp.einsum("adi,adj->aij", b_i, b_i),
+                    graph.arc_i,
+                    num_segments=m,
+                    indices_are_sorted=True,
                 )
+                node_blocks = node_blocks + graph.segment_over_arc_j(
+                    (sa * jnp.einsum("adi,adj->aij", b_j, b_j)).reshape(-1, 36)
+                ).reshape(m, 6, 6)
+                node_blocks = node_blocks + (levenberg + 1e-8) * jnp.eye(
+                    6, dtype=rhs.dtype
+                )
+                prec_blocks = jnp.linalg.inv(node_blocks)
 
-            xk, _, _, _, _ = jax.lax.while_loop(
-                cg_cond, cg_body, (x0, r0, p0, rz0, jnp.array(0, jnp.int32))
-            )
-            return xk
+                def apply_precond(r):
+                    return jnp.einsum("mij,mj->mi", prec_blocks, r)
 
-        delta = cg(rhs)
+            else:
+                # Lumped-diagonal estimate — conditioning only, never
+                # correctness.
+                def diag_estimate():
+                    w_data = w_pp + w_pl
+                    ww = w_data[:, None] * wa**2  # (N, K)
+                    y2 = jnp.sum(y * y, axis=-1)  # (N, K)
+                    acc_w = graph.segment_over_anchors(ww * y2)
+                    acc_t = graph.segment_over_anchors(ww)
+                    sa = stiffness * w_arc
+                    arc_w = jax.ops.segment_sum(
+                        sa * jnp.sum(y_jl * y_jl, -1), graph.arc_i,
+                        num_segments=m, indices_are_sorted=True,
+                    ) + graph.segment_over_arc_j(sa * jnp.sum(y_ll * y_ll, -1))
+                    arc_t = jax.ops.segment_sum(
+                        sa, graph.arc_i, num_segments=m, indices_are_sorted=True
+                    ) + graph.segment_over_arc_j(sa)
+                    dw_diag = jnp.broadcast_to(
+                        (acc_w + arc_w)[:, None], (m, n_lin)
+                    )
+                    dt_diag = jnp.broadcast_to((acc_t + arc_t)[:, None], (m, d))
+                    return jnp.concatenate([dw_diag, dt_diag], axis=1) + levenberg
+
+                precond_vec = 1.0 / jnp.maximum(diag_estimate(), _EPS)
+
+                def apply_precond(r):
+                    return precond_vec * r
+
+            # Preconditioned CG on (JᵀJ + λI) δ = rhs, relative tolerance
+            # (Eigen CG semantics, ``warp_field_estimation.hpp:188-192``).
+            def cg(rhs):
+                rhs_norm2 = jnp.sum(rhs * rhs)
+                x0 = jnp.zeros_like(rhs)
+                r0 = rhs
+                z0 = apply_precond(r0)
+                p0 = z0
+                rz0 = jnp.sum(r0 * z0)
+
+                def cg_body(carry):
+                    xk, rk, pk, rzk, k = carry
+                    ap = normal_matvec(pk)
+                    alpha = rzk / jnp.maximum(jnp.sum(pk * ap), _EPS)
+                    xk1 = xk + alpha * pk
+                    rk1 = rk - alpha * ap
+                    zk1 = apply_precond(rk1)
+                    rzk1 = jnp.sum(rk1 * zk1)
+                    beta = rzk1 / jnp.maximum(rzk, _EPS)
+                    return xk1, rk1, zk1 + beta * pk, rzk1, k + 1
+
+                def cg_cond(carry):
+                    _, rk, _, _, k = carry
+                    return (k < max_cg_iterations) & (
+                        jnp.sum(rk * rk) > cg_tol * cg_tol * rhs_norm2
+                    )
+
+                xk, _, _, _, k = jax.lax.while_loop(
+                    cg_cond, cg_body, (x0, r0, p0, rz0, jnp.array(0, jnp.int32))
+                )
+                return xk, k
+
+            delta, cg_k = cg(rhs)
 
         # Apply per-node increments ΔT(δ) ∘ T (rotation re-projection keeps
         # rigid fields rigid; affine fields compose exactly).
@@ -509,18 +672,23 @@ def estimate_warp_field(
         max_update = jnp.max(
             jnp.where(graph.node_valid, jnp.linalg.norm(delta, axis=1), 0.0)
         )
-        return new_tf, max_update, it + 1
+        return new_tf, max_update, it + 1, cg_total + cg_k
 
     def gn_cond(carry):
-        _, upd, it = carry
+        _, upd, it, _ = carry
         return (it < max_gn_iterations) & (upd >= gn_tol)
 
-    node_tf, upd, _ = jax.lax.while_loop(
+    node_tf, upd, _, cg_total = jax.lax.while_loop(
         gn_cond,
         gn_body,
-        (node_tf, jnp.array(jnp.inf, src_points.dtype), jnp.array(0, jnp.int32)),
+        (
+            node_tf,
+            jnp.array(jnp.inf, src_points.dtype),
+            jnp.array(0, jnp.int32),
+            jnp.array(0, jnp.int32),
+        ),
     )
-    return node_tf, upd < gn_tol
+    return node_tf, upd < gn_tol, cg_total
 
 
 # ---------------------------------------------------------------------------
@@ -535,6 +703,7 @@ def estimate_warp_field(
         "max_gn_iterations",
         "max_cg_iterations",
         "node_type",
+        "solver",
     ),
 )
 def icp_warp_field(
@@ -555,6 +724,7 @@ def icp_warp_field(
     max_gn_iterations: int = 1,
     max_cg_iterations: int = 500,
     node_type: str = "rigid",
+    solver: str = "auto",
 ) -> Tuple[Transform, jax.Array, jax.Array]:
     """Sparse (EDG) non-rigid ICP (``CombinedMetricSparseWarpFieldICP``,
     ``icp_warp_field_combined_metric_sparse.hpp:202-240``; example defaults
@@ -586,7 +756,7 @@ def icp_warp_field(
             if dst_normals is not None
             else None
         )
-        new_tf, _ = estimate_warp_field(
+        new_tf, _, _ = estimate_warp_field(
             graph,
             src_points,
             dgt,
@@ -601,6 +771,7 @@ def icp_warp_field(
             gn_tol=0.0,
             max_cg_iterations=max_cg_iterations,
             node_type=node_type,
+            solver=solver,
         )
         # Convergence: max per-node motion between outer iterations
         # (icp_warp_field_combined_metric_sparse.hpp convergence norm).
@@ -676,6 +847,7 @@ def build_dense_graph(
         "max_gn_iterations",
         "max_cg_iterations",
         "node_type",
+        "solver",
     ),
 )
 def icp_warp_field_projective(
@@ -700,6 +872,7 @@ def icp_warp_field_projective(
     max_gn_iterations: int = 1,
     max_cg_iterations: int = 500,
     node_type: str = "rigid",
+    solver: str = "auto",
 ) -> Tuple[Transform, jax.Array, jax.Array]:
     """Non-rigid ICP with **projective** correspondence search — the
     reference's projective warp-field instances
@@ -743,7 +916,7 @@ def icp_warp_field_projective(
             src_valid=src_valid,
             max_distance=max_corr_dist_sq,
         )
-        new_tf, _ = estimate_warp_field(
+        new_tf, _, _ = estimate_warp_field(
             graph,
             src_points,
             dgt,
@@ -758,6 +931,7 @@ def icp_warp_field_projective(
             gn_tol=0.0,
             max_cg_iterations=max_cg_iterations,
             node_type=node_type,
+            solver=solver,
         )
         delta_lin = new_tf.linear - node_tf.linear
         delta_tr = new_tf.translation - node_tf.translation

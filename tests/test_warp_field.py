@@ -207,3 +207,81 @@ class TestProjectiveWarpField:
         base = np.linalg.norm(src_np[ok] - dst_np[ok], axis=1)
         assert np.median(err) < 0.25 * np.median(base)
         assert np.median(err) < 5e-3
+
+
+def test_direct_solver_matches_cg():
+    """The dense-assembly direct solver and matrix-free CG solve the same
+    damped normal equations: one GN step must agree to CG tolerance, for
+    rigid and affine node types."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cilantro_tpu.registration.warp_field import (
+        build_deformation_graph,
+        estimate_warp_field,
+    )
+
+    rng = np.random.default_rng(11)
+    src = rng.uniform(-0.5, 0.5, (600, 3)).astype(np.float32)
+    dst = src + 0.01 * np.sin(4.0 * src[:, :1]) * np.array(
+        [0.0, 0.0, 1.0], np.float32
+    )
+    nodes = rng.uniform(-0.5, 0.5, (40, 3)).astype(np.float32)
+    graph = build_deformation_graph(
+        jnp.asarray(src), jnp.asarray(nodes), k_anchors=4, k_arcs=6
+    )
+    w = jnp.ones(len(src), jnp.float32)
+    for node_type in ("rigid", "affine"):
+        tf_d, _, cg_d = estimate_warp_field(
+            graph, jnp.asarray(src), jnp.asarray(dst), None, w,
+            point_weight=1.0, plane_weight=0.0, stiffness=10.0,
+            max_gn_iterations=1, solver="direct", node_type=node_type,
+        )
+        tf_c, _, cg_c = estimate_warp_field(
+            graph, jnp.asarray(src), jnp.asarray(dst), None, w,
+            point_weight=1.0, plane_weight=0.0, stiffness=10.0,
+            max_gn_iterations=1, solver="cg", cg_tol=1e-7,
+            node_type=node_type,
+        )
+        assert int(cg_d) == 0 and int(cg_c) > 0
+        np.testing.assert_allclose(
+            np.asarray(tf_d.translation), np.asarray(tf_c.translation),
+            atol=5e-5, err_msg=node_type,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tf_d.linear), np.asarray(tf_c.linear), atol=5e-5,
+            err_msg=node_type,
+        )
+
+
+def test_direct_solver_plane_metric_matches_cg():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cilantro_tpu.registration.warp_field import (
+        build_deformation_graph,
+        estimate_warp_field,
+    )
+
+    rng = np.random.default_rng(12)
+    src = rng.uniform(-0.5, 0.5, (500, 3)).astype(np.float32)
+    src[:, 2] = 0.1 * np.sin(3 * src[:, 0])
+    dst = src + np.array([0.0, 0.0, 0.005], np.float32)
+    nrm = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (500, 1))
+    nodes = rng.uniform(-0.5, 0.5, (32, 3)).astype(np.float32)
+    nodes[:, 2] = 0.0
+    graph = build_deformation_graph(
+        jnp.asarray(src), jnp.asarray(nodes), k_anchors=4, k_arcs=6
+    )
+    w = jnp.ones(len(src), jnp.float32)
+    kw = dict(point_weight=0.1, plane_weight=1.0, stiffness=10.0,
+              max_gn_iterations=1)
+    tf_d, _, _ = estimate_warp_field(
+        graph, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(nrm), w,
+        solver="direct", **kw)
+    tf_c, _, _ = estimate_warp_field(
+        graph, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(nrm), w,
+        solver="cg", cg_tol=1e-7, **kw)
+    np.testing.assert_allclose(
+        np.asarray(tf_d.translation), np.asarray(tf_c.translation), atol=5e-5
+    )
