@@ -427,10 +427,14 @@ def estimate_warp_field(
             return jnp.concatenate([perp, eye_b], axis=-1)
 
         if use_direct:
-            # Dense normal-matrix assembly + Cholesky (see docstring). All
-            # anchor-pair (P, P) blocks scatter-add into an (M·M, P·P)
-            # accumulator once per GN iteration; the factorization runs on
-            # the MXU. No per-CG-iteration reindexes exist at all.
+            # Dense normal-matrix assembly + Cholesky (see docstring). Each
+            # UNORDERED anchor-pair (P, P) block scatter-adds ONCE into an
+            # (M·M, P·P) accumulator (upper-triangle orientation; diagonal
+            # contributions halved) and the dense matrix is symmetrized as
+            # S + Sᵀ at the end — K(K+1)/2 scatter rows per point instead of
+            # K², and the scatter IS the assembly's cost (~30 ns/row). The
+            # factorization then runs on the MXU; no per-CG-iteration
+            # reindexes exist at all.
             #
             # Assembly is CHUNKED over points: a monolithic (N, K, K, P, P)
             # intermediate tile-pads ~30× on TPU (observed 264 MB → 8.3 GB),
@@ -440,6 +444,14 @@ def estimate_warp_field(
             chunk = 4096
             n_chunks = max(1, -(-n // chunk))
             n_pad = n_chunks * chunk
+            kk, ll = [], []
+            for _k in range(_k_anch):
+                for _l in range(_k, _k_anch):
+                    kk.append(_k)
+                    ll.append(_l)
+            kk = jnp.array(kk, jnp.int32)
+            ll = jnp.array(ll, jnp.int32)
+            half_diag = jnp.where(kk == ll, 0.5, 1.0)[:, None, None]
 
             def _padc(a, fill=0.0):
                 widths = ((0, n_pad - n),) + ((0, 0),) * (a.ndim - 1)
@@ -467,16 +479,27 @@ def estimate_warp_field(
             def chunk_fn(acc, args):
                 y_k, wa_k, an_k, wpp_k, wpl_k, nrm_k = args
                 bw = wa_k[..., None, None] * _row_blocks(y_k)  # (C,K,D,P)
-                pair = wpp_k[:, None, None, None, None] * jnp.einsum(
-                    "nkdp,nldq->nklpq", bw, bw
+                bk, bl = bw[:, kk], bw[:, ll]  # (C,T,D,P), T=K(K+1)/2
+                pair = wpp_k[:, None, None, None] * jnp.einsum(
+                    "ntdp,ntdq->ntpq", bk, bl
                 )
                 if dst_normals is not None:
                     bn = jnp.einsum("nd,nkdp->nkp", nrm_k, bw)
-                    pair = pair + wpl_k[
-                        :, None, None, None, None
-                    ] * jnp.einsum("nkp,nlq->nklpq", bn, bn)
+                    pair = pair + wpl_k[:, None, None, None] * jnp.einsum(
+                        "ntp,ntq->ntpq", bn[:, kk], bn[:, ll]
+                    )
+                pair = pair * half_diag
+                # Orient every block upper-triangle in NODE ids (anchor k's
+                # node may exceed anchor l's): store Bᵀ at (min, max).
+                a_n, b_n = an_k[:, kk], an_k[:, ll]  # (C,T)
+                swap = a_n > b_n
+                pair = jnp.where(
+                    swap[..., None, None],
+                    jnp.swapaxes(pair, -1, -2),
+                    pair,
+                )
                 keys = (
-                    an_k[:, :, None] * m + an_k[:, None, :]
+                    jnp.minimum(a_n, b_n) * m + jnp.maximum(a_n, b_n)
                 ).reshape(-1)
                 acc = acc.at[keys].add(pair.reshape(-1, pp))
                 return acc, jnp.int32(0)
@@ -485,31 +508,30 @@ def estimate_warp_field(
                 chunk_fn, jnp.zeros((m * m, pp), rhs.dtype), chunk_args
             )
 
+            # Arcs follow the same one-block-per-unordered-pair scheme.
             sa = (stiffness * w_arc)[:, None, None]
             b_i = _row_blocks(y_jl)
             b_j = -_row_blocks(y_ll)
+            off = sa * jnp.einsum("adp,adq->apq", b_i, b_j)
+            a_swap = graph.arc_i > graph.arc_j
+            off = jnp.where(
+                a_swap[:, None, None], jnp.swapaxes(off, -1, -2), off
+            )
             arc_vals = jnp.concatenate(
                 [
-                    (sa * jnp.einsum("adp,adq->apq", b_i, b_i)).reshape(
-                        -1, pp
-                    ),
-                    (sa * jnp.einsum("adp,adq->apq", b_i, b_j)).reshape(
-                        -1, pp
-                    ),
-                    (sa * jnp.einsum("adp,adq->apq", b_j, b_i)).reshape(
-                        -1, pp
-                    ),
-                    (sa * jnp.einsum("adp,adq->apq", b_j, b_j)).reshape(
-                        -1, pp
-                    ),
+                    (0.5 * sa * jnp.einsum("adp,adq->apq", b_i, b_i))
+                    .reshape(-1, pp),
+                    (0.5 * sa * jnp.einsum("adp,adq->apq", b_j, b_j))
+                    .reshape(-1, pp),
+                    off.reshape(-1, pp),
                 ]
             )
             arc_keys = jnp.concatenate(
                 [
                     graph.arc_i * m + graph.arc_i,
-                    graph.arc_i * m + graph.arc_j,
-                    graph.arc_j * m + graph.arc_i,
                     graph.arc_j * m + graph.arc_j,
+                    jnp.minimum(graph.arc_i, graph.arc_j) * m
+                    + jnp.maximum(graph.arc_i, graph.arc_j),
                 ]
             )
             acc = acc.at[arc_keys].add(arc_vals)
@@ -524,8 +546,11 @@ def estimate_warp_field(
                 ],
                 axis=1,
             ).reshape(m * p_par, m * p_par)
-            # Damping + a unit diagonal on dead nodes (their rhs is zero, so
-            # delta stays zero; without it the system would be singular).
+            # Symmetrize (each unordered block was stored once, diagonals
+            # halved), then damp + a unit diagonal on dead nodes (their rhs
+            # is zero, so delta stays zero; without it the system would be
+            # singular).
+            h_mat = h_mat + h_mat.T
             diag = (levenberg + 1e-8) + jnp.where(
                 graph.node_valid, 0.0, 1.0
             )
@@ -735,7 +760,7 @@ def icp_warp_field(
     ``(node_transforms, iterations, converged)``. The dense per-point field is
     :func:`warp_points` / :func:`resample_transforms` applied to the result.
     """
-    from ..neighbors.bruteforce import nn1, INVALID_DIST
+    from ..correspondence.search import find_nn_correspondences
 
     n, d = src_points.shape
     if src_valid is None:
@@ -745,10 +770,17 @@ def icp_warp_field(
     def body(carry):
         node_tf, _, it = carry
         warped = warp_points(graph, node_tf, src_points)
-        dist, idx = nn1(
-            warped, dst_points, query_valid=src_valid, key_valid=dst_valid
+        # The gate doubles as the box-prune bound: on large gated 3D
+        # problems this takes the Morton-tile-pruned kernel (the same fast
+        # path rigid ICP rides).
+        corr = find_nn_correspondences(
+            warped,
+            dst_points,
+            query_valid=src_valid,
+            dst_valid=dst_valid,
+            max_distance=max_corr_dist_sq,
         )
-        mask = src_valid & (dist < INVALID_DIST) & (dist <= max_corr_dist_sq)
+        mask, idx = corr.mask, corr.dst_idx
         w = mask.astype(src_points.dtype)
         dgt = dst_points[jnp.where(mask, idx, 0)]
         ngt = (

@@ -158,6 +158,16 @@ class FusionConfig:
     # only by host-side compaction (cleanup_map / checkpoint reload). True:
     # reuse free slots anywhere, exactly (the round-1 machinery).
     reuse_carved_slots: bool = False
+    # How update rows reach the pool. TPU scatters are latency-bound per
+    # ROW: a 16-channel row scatter costs ~61 ns/row (18.7 ms at H·W=307k)
+    # while a 1-channel scatter rides a ~10 ns fast path and gathers cost
+    # ~17.5 ns/row. "inverse_gather" therefore scatters only PIXEL IDS
+    # (1-channel) into a slot→pixel map, then GATHERS the update rows by
+    # slot and rewrites the pool — cost scales with capacity, not with
+    # H·W·(row latency). "row_scatter" is the direct one-scatter form.
+    # "auto" picks inverse_gather when capacity ≤ 3·H·W (the break-even:
+    # capacity·17.5 ns + H·W·10 ns vs H·W·61 ns).
+    update_mode: str = "auto"
 
 
 def radial_weights(
@@ -543,7 +553,7 @@ def integrate_frame_with_imap(
         aug_ok = do_augment & (aug_slot < fmap.capacity)
         aug_slot = jnp.clip(aug_slot, 0, fmap.capacity - 1)
 
-    # --- ONE combined scatter --------------------------------------------
+    # --- ONE combined update ---------------------------------------------
     # Targets are unique: each model point wins ≤ 1 pixel (fuse/carve hit
     # valid slots, mutually exclusive per pixel), augments hit free slots,
     # and masked lanes get DISTINCT out-of-bounds indices so mode="drop"
@@ -557,9 +567,38 @@ def integrate_frame_with_imap(
         fuse_rows,
         jnp.where(do_carve[:, None], carve_row[None, :], aug_rows),
     )
-    data = fmap.data.at[tgt].set(
-        rows_out, mode="drop", unique_indices=True
-    )
+    mode = cfg.update_mode
+    if mode == "auto":
+        mode = (
+            "inverse_gather" if fmap.capacity <= 3 * npix else "row_scatter"
+        )
+    if mode == "inverse_gather":
+        # Invert pixel→slot into slot→pixel with a 1-channel scatter (fast
+        # path), then GATHER each updated slot's row and rewrite the pool —
+        # the wide-row latency is paid at gather rates (~17.5 ns/row over
+        # capacity) instead of scatter rates (~61 ns/row over H·W). See
+        # FusionConfig.update_mode.
+        pix_of_slot = (
+            jnp.full((fmap.capacity,), -1, jnp.int32)
+            .at[tgt]
+            .set(
+                jnp.arange(npix, dtype=jnp.int32),
+                mode="drop",
+                unique_indices=True,
+            )
+        )
+        touched = pix_of_slot >= 0
+        data = jnp.where(
+            touched[:, None],
+            rows_out[jnp.where(touched, pix_of_slot, 0)],
+            fmap.data,
+        )
+    elif mode == "row_scatter":
+        data = fmap.data.at[tgt].set(
+            rows_out, mode="drop", unique_indices=True
+        )
+    else:
+        raise ValueError(f"unknown update_mode {cfg.update_mode!r}")
 
     # Next frame's localize warm-starts at THIS pose against THIS render —
     # emit its packed camera-frame target from rows already in hand (a

@@ -312,3 +312,32 @@ class TestPoolWidths:
                 m8, pts1, nrm1, jnp.zeros((H * W, 3)), val1, identity(3),
                 K, height=H, width=W,
             )
+
+    def test_update_modes_bit_identical(self):
+        """inverse_gather and row_scatter are two lowerings of the same
+        update — the resulting pools must match bit for bit, including
+        augments and carves."""
+        d1 = wavy_depth()
+        d1[:, W // 2 :] = 0.0  # leave room for augments
+        pts1, nrm1, v1 = frame_from_depth(d1)
+        # Put a floater in front so the carve path fires too.
+        pts1 = pts1.at[5 * W + 5].set(jnp.array([0.0, 0.0, 0.8]))
+        fmap = init_map_from_frame(H * W * 2, pts1, nrm1, None, v1)
+
+        pts2, nrm2, v2 = frame_from_depth(wavy_depth())
+        pose = small_pose(ang=0.0, t=(0.0, 0.0, 0.0))
+        out = {}
+        for mode in ("row_scatter", "inverse_gather"):
+            out[mode] = integrate_frame(
+                fmap, pts2, nrm2, None, v2, pose, K, height=H, width=W,
+                cfg=FusionConfig(update_mode=mode),
+            )
+        a = np.asarray(out["row_scatter"].data)
+        b = np.asarray(out["inverse_gather"].data)
+        np.testing.assert_array_equal(a, b)
+        # auto at capacity 2·H·W resolves to inverse_gather
+        c = integrate_frame(
+            fmap, pts2, nrm2, None, v2, pose, K, height=H, width=W,
+            cfg=FusionConfig(update_mode="auto"),
+        )
+        np.testing.assert_array_equal(a, np.asarray(c.data))
