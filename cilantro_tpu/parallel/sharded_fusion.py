@@ -215,7 +215,7 @@ def sharded_fusion_step(
         aug_slot = slot_of_rank[jnp.clip(local_rank, 0, c_local - 1)]
         aug_ok = mine & (local_rank < num_free)
 
-        # ONE combined local scatter: fuse/carve on owned winners, augments
+        # ONE combined local update: fuse/carve on owned winners, augments
         # on my dealt free slots; everything else → distinct OOB (dropped).
         oob = c_local + jnp.arange(hw, dtype=jnp.int32)
         fuse_or_carve = (do_fuse | do_carve) & owned
@@ -227,9 +227,35 @@ def sharded_fusion_step(
             fuse_rows,
             jnp.where(do_carve[:, None], carve_row[None, :], aug_rows),
         )
-        new_data = data.at[tgt].set(
-            rows_out, mode="drop", unique_indices=True
-        )
+        mode = cfg.update_mode
+        if mode == "auto":
+            mode = "inverse_gather" if c_local <= 3 * hw else "row_scatter"
+        if mode == "inverse_gather":
+            # Same trick as the single-device integrator
+            # (fusion.py: FusionConfig.update_mode): per-shard capacity is
+            # C/D rows, so the capacity-scaled gather+rewrite wins even
+            # harder here than single-device.
+            pix_of_slot = (
+                jnp.full((c_local,), -1, jnp.int32)
+                .at[tgt]
+                .set(
+                    jnp.arange(hw, dtype=jnp.int32),
+                    mode="drop",
+                    unique_indices=True,
+                )
+            )
+            touched = pix_of_slot >= 0
+            new_data = jnp.where(
+                touched[:, None],
+                rows_out[jnp.where(touched, pix_of_slot, 0)],
+                data,
+            )
+        elif mode == "row_scatter":
+            new_data = data.at[tgt].set(
+                rows_out, mode="drop", unique_indices=True
+            )
+        else:
+            raise ValueError(f"unknown update_mode {cfg.update_mode!r}")
         return new_data, pose, widx
 
     rep = jax.tree_util.tree_map(lambda _: P(), pose_guess)
