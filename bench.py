@@ -59,7 +59,15 @@ def bench_fusion_tpu(depths, gt, k):
 
 
 def bench_fusion_cpu(depths):
+    """Strongest available single-core CPU baseline of the same pipeline.
+
+    Primary: the COMPILED C++ implementation (native/src/baseline_fusion.cpp,
+    g++ -O3 single-thread, timed inside the library); the numpy pipeline
+    (bench_baseline.py) doubles as a cross-check — the two produce identical
+    trajectories — and as the fallback without a toolchain. vs_baseline uses
+    the FASTER of the two, so the headline never rides a soft denominator."""
     from bench_baseline import fusion_cpu
+    from cilantro_tpu.native import baseline_fusion_native
 
     best = float("inf")
     poses = None
@@ -67,7 +75,25 @@ def bench_fusion_cpu(depths):
         t0 = time.perf_counter()
         poses = fusion_cpu(depths[:CPU_FRAMES], 525.0, 525.0, 319.5, 239.5)
         best = min(best, (time.perf_counter() - t0) / (CPU_FRAMES - 1))
-    log(f"CPU fusion baseline: {best*1e3:.0f} ms/frame ({1.0/best:.2f} fps)")
+    log(f"CPU fusion baseline (numpy): {best*1e3:.0f} ms/frame "
+        f"({1.0/best:.2f} fps)")
+    stack = np.stack(depths[:CPU_FRAMES]).astype(np.float32)
+    best_cpp = float("inf")
+    for _ in range(2):
+        res = baseline_fusion_native(stack, 525.0, 525.0, 319.5, 239.5)
+        if res is None:
+            break
+        poses_cpp, ms = res
+        best_cpp = min(best_cpp, ms / 1e3 / (CPU_FRAMES - 1))
+    if best_cpp < float("inf"):
+        delta = max(
+            np.abs(poses_cpp[i] - poses[i]).max() for i in range(CPU_FRAMES)
+        )
+        log(
+            f"CPU fusion baseline (compiled C++): {best_cpp*1e3:.0f} ms/frame "
+            f"({1.0/best_cpp:.2f} fps); max pose delta vs numpy {delta:.2e}"
+        )
+        best = min(best, best_cpp)
     return best, poses
 
 

@@ -216,3 +216,66 @@ def baseline_icp_native(
     if it < 0:
         raise ValueError(f"baseline_icp failed ({it})")
     return out_tf.reshape(3, 4), it, out_ms.value
+
+
+# ---------------------------------------------------------------------------
+# Single-core C++ fusion baseline (honest benchmark reference).
+# ---------------------------------------------------------------------------
+
+
+def _baseline_fusion_lib() -> Optional[ctypes.CDLL]:
+    lib = _load("baseline_fusion")
+    if lib is None:
+        return None
+    if not getattr(lib, "_configured", False):
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.baseline_fusion.argtypes = [
+            fp, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            fp, ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.baseline_fusion.restype = ctypes.c_int
+        lib._configured = True
+    return lib
+
+
+def baseline_fusion_native(
+    depths: np.ndarray,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    *,
+    icp_iters: int = 6,
+    fuse_depth: float = 0.01,
+    occlusion_depth: float = 0.025,
+) -> Optional[Tuple[np.ndarray, float]]:
+    """Single-core C++ frame-to-model fusion (the compiled CPU baseline the
+    headline bench compares against — the same projective-ICP +
+    fuse/augment/carve pipeline as ``bench_baseline.fusion_cpu`` and the TPU
+    path; reference algorithm ``examples/fusion.cpp:125-254``).
+
+    ``depths``: (F, H, W) float32. Returns ``(poses (F, 4, 4) camera-to-world,
+    milliseconds for frames 1..F-1 timed inside the library)`` or None if the
+    toolchain is unavailable.
+    """
+    lib = _baseline_fusion_lib()
+    if lib is None:
+        return None
+    fp = ctypes.POINTER(ctypes.c_float)
+    d = np.ascontiguousarray(depths, np.float32)
+    f, h, w = d.shape
+    out_poses = np.zeros((f, 4, 4), np.float32)
+    out_ms = ctypes.c_double(0.0)
+    rc = lib.baseline_fusion(
+        d.ctypes.data_as(fp), f, h, w,
+        ctypes.c_float(fx), ctypes.c_float(fy),
+        ctypes.c_float(cx), ctypes.c_float(cy),
+        icp_iters, ctypes.c_float(fuse_depth),
+        ctypes.c_float(occlusion_depth),
+        out_poses.ctypes.data_as(fp), ctypes.byref(out_ms),
+    )
+    if rc != 0:
+        raise ValueError(f"baseline_fusion failed ({rc})")
+    return out_poses, out_ms.value

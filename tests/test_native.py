@@ -144,3 +144,36 @@ def test_baseline_icp_recovers_transform(rng):
     assert iters > 0 and ms > 0
     assert np.abs(tf[:, :3] - r_true).max() < 2e-3
     assert np.abs(tf[:, 3] - t_true).max() < 2e-3
+
+
+def test_baseline_fusion_matches_numpy_pipeline():
+    """The compiled C++ fusion baseline and the numpy pipeline
+    (bench_baseline.fusion_cpu) implement the same algorithm — their
+    trajectories must agree to float precision."""
+    import pytest
+
+    from cilantro_tpu.core import CameraIntrinsics
+    from cilantro_tpu.native import baseline_fusion_native
+    from cilantro_tpu.slam import synthetic_sequence
+
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from bench_baseline import fusion_cpu
+
+    h, w = 120, 160
+    k = CameraIntrinsics.make(131.25, 131.25, 79.5, 59.5)
+    depths, gt = synthetic_sequence(5, h, w, k, seed=3)
+    stack = np.stack(depths).astype(np.float32)
+    res = baseline_fusion_native(stack, 131.25, 131.25, 79.5, 59.5)
+    if res is None:
+        pytest.skip("no C++ toolchain")
+    poses_cpp, ms = res
+    assert ms > 0
+    poses_np = fusion_cpu(depths, 131.25, 131.25, 79.5, 59.5)
+    for a, b in zip(poses_cpp, poses_np):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+    # and the trajectory tracks ground truth
+    for a, g in zip(poses_cpp, gt):
+        np.testing.assert_allclose(a, g, atol=2e-3)
