@@ -10,6 +10,8 @@ from .spectral import (  # noqa: F401
     SpectralResult,
     laplacian,
     spectral_embedding,
+    spectral_embedding_knn,
     spectral_clustering,
+    spectral_clustering_knn,
     estimate_num_clusters_eigengap,
 )

@@ -10,8 +10,11 @@ TPU-native redesign of ``include/cilantro/clustering/kmeans.hpp``:
 * empty-cluster repair follows the reference's policy (steal far points,
   ``kmeans.hpp:133-176``) in batched form: the e-th empty cluster takes the
   e-th farthest-from-its-centroid point;
-* random init = distinct random points (swap-sampling analogue,
-  ``kmeans.hpp:38-49``).
+* init: k-means++ (D² categorical sampling via one ``fori_loop``) by
+  default — on embeddings with very uneven cluster sizes (e.g. spectral
+  indicator embeddings) random init routinely misses small clusters and
+  Lloyd cannot recover; ``init="random"`` gives the reference's distinct
+  random points (swap-sampling analogue, ``kmeans.hpp:38-49``).
 
 The whole fit is one jitted ``lax.while_loop``.
 """
@@ -56,7 +59,35 @@ def _update(points, labels, valid, k):
     return sums, counts
 
 
-@partial(jax.jit, static_argnames=("num_clusters", "max_iterations", "metric"))
+def _kmeanspp_init(key, points, valid, k, metric):
+    """k-means++ seeding: each next centroid is a point sampled with
+    probability ∝ its (squared) distance to the nearest already-chosen
+    centroid. Chosen/duplicate points get a log(1e-30) floor, so they are
+    only re-picked when no distinct valid point remains."""
+    from ..neighbors.bruteforce import _TILE_DISTS
+
+    n = points.shape[0]
+    keys = jax.random.split(key, k)
+    i0 = jax.random.categorical(keys[0], jnp.where(valid, 0.0, -jnp.inf))
+    cents = jnp.zeros((k, points.shape[1]), points.dtype).at[0].set(points[i0])
+    d2 = _TILE_DISTS[metric](points, points[i0][None])[:, 0]
+
+    def body(j, carry):
+        cents, d2 = carry
+        logits = jnp.where(valid, jnp.log(jnp.maximum(d2, 1e-30)), -jnp.inf)
+        idx = jax.random.categorical(keys[j], logits)
+        c = points[idx]
+        d2 = jnp.minimum(d2, _TILE_DISTS[metric](points, c[None])[:, 0])
+        return cents.at[j].set(c), d2
+
+    cents, _ = jax.lax.fori_loop(1, k, body, (cents, d2))
+    return cents
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_clusters", "max_iterations", "metric", "init"),
+)
 def kmeans(
     key: jax.Array,
     points: jax.Array,
@@ -66,16 +97,22 @@ def kmeans(
     max_iterations: int = 100,
     tol: float = 1e-7,
     metric: str = "l2",
+    init: str = "k-means++",
 ) -> KMeansResult:
     n, d = points.shape
     k = num_clusters
     if valid is None:
         valid = jnp.ones(n, bool)
 
-    # Distinct random valid points as initial centroids.
-    scores = jax.random.uniform(key, (n,)) + jnp.where(valid, 0.0, 2.0)
-    _, init_idx = jax.lax.top_k(-scores, k)
-    init_centroids = points[init_idx]
+    if init == "k-means++":
+        init_centroids = _kmeanspp_init(key, points, valid, k, metric)
+    elif init == "random":
+        # Distinct random valid points as initial centroids.
+        scores = jax.random.uniform(key, (n,)) + jnp.where(valid, 0.0, 2.0)
+        _, init_idx = jax.lax.top_k(-scores, k)
+        init_centroids = points[init_idx]
+    else:
+        raise ValueError(f"unknown init {init!r}")
 
     def body(carry):
         centroids, _, it, _ = carry

@@ -6,10 +6,17 @@ TPU-native redesign of ``include/cilantro/clustering/spectral_clustering.hpp``:
   normalized-symmetric / random-walk, ``spectral_clustering.hpp:44,88-180``);
 * smallest-k eigenvectors: the reference uses bundled Spectra
   (shift-invert Lanczos). On TPU a dense ``eigh`` is both simpler and faster
-  for the N ≤ few-thousand regime spectral clustering lives in (the MXU
-  solves dense symmetric eigenproblems at matmul rate; sparse Lanczos is a
-  latency chain of matvecs). The random-walk variant solves the equivalent
+  for the N ≤ few-thousand regime spectral clustering usually lives in (the
+  MXU solves dense symmetric eigenproblems at matmul rate; sparse Lanczos is
+  a latency chain of matvecs). The random-walk variant solves the equivalent
   symmetric problem ``D^{-1/2} L D^{-1/2}`` and rescales, keeping ``eigh``;
+* for LARGE N the dense (N, N) affinity is the limit, not the eigensolver:
+  :func:`spectral_embedding_knn` / :func:`spectral_clustering_knn` work on
+  the fixed-shape masked kNN graph directly (the output of
+  ``neighbors.knn_search``) and run block-iterative LOBPCG on the
+  spectrum-shifted operator ``σI − L`` (top-k of the shift = smallest-k of
+  L) — the TPU answer to the reference's sparse Spectra/Lanczos path, with
+  matvecs that are one gather + one segment-sum over the edge list;
 * eigengap cluster-count estimation (``:46-68``);
 * k-means on the row-normalized embedding (``SpectralClustering`` class,
   ``:318``).
@@ -110,6 +117,157 @@ def spectral_clustering(
             jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-30
         )
     km = kmeans(key, emb, k_fit)
+    return SpectralResult(
+        labels=km.labels,
+        embedding=emb,
+        eigenvalues=vals,
+        num_clusters=num,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Large-N path: masked kNN graph + block-iterative eigensolver.
+# ---------------------------------------------------------------------------
+
+
+def _knn_laplacian_matvec(indices, weights, mask, kind):
+    """Returns ``(matvec, sigma, dm)`` for the symmetrized kNN affinity
+    W = (A + Aᵀ)/2: ``matvec(X) (N, B) → L X``, a Gershgorin upper bound
+    ``sigma ≥ λ_max(L)``, and the D^{-1/2} vector (None when unnormalized).
+
+    One gather (A X) + one segment-sum (Aᵀ X) per application — no (N, N)
+    object ever exists.
+    """
+    n, k = indices.shape
+    wm = jnp.where(mask, weights, 0.0)
+    flat_idx = indices.reshape(-1)
+
+    def w_apply(x):  # (N, B) → W x
+        ax = jnp.einsum("nk,nkb->nb", wm, x[indices])
+        atx = jax.ops.segment_sum(
+            (wm[..., None] * x[:, None, :]).reshape(n * k, -1),
+            flat_idx,
+            num_segments=n,
+        )
+        return 0.5 * (ax + atx)
+
+    d = w_apply(jnp.ones((n, 1), wm.dtype))[:, 0]
+    if kind == "unnormalized":
+        sigma = 2.0 * jnp.max(d)
+
+        def matvec(x):
+            return d[:, None] * x - w_apply(x)
+
+        return matvec, sigma, None
+
+    dm = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-30))
+
+    def matvec(x):  # L_sym x = x − D^{-1/2} W D^{-1/2} x
+        return x - dm[:, None] * w_apply(dm[:, None] * x)
+
+    return matvec, jnp.asarray(2.0, wm.dtype), dm
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_components", "kind", "max_iterations",
+                     "filter_degree"),
+)
+def spectral_embedding_knn(
+    key: jax.Array,
+    indices: jax.Array,
+    weights: jax.Array,
+    mask: jax.Array,
+    num_components: int,
+    *,
+    kind: str = "normalized",
+    max_iterations: int = 100,
+    filter_degree: int = 8,
+    tol: float = 0.0,
+):
+    """Smallest-eigenvector Laplacian embedding of a masked kNN affinity
+    graph (``indices/weights/mask (N, k)`` as produced by
+    ``neighbors.knn_search`` + an affinity of the distances).
+
+    LOBPCG on the polynomial-filtered operator ``((σI − L)/σ)^q`` — a
+    monotone-decreasing map of [0, σ] onto [0, 1], so its top-k eigenvectors
+    are L's smallest-k, with the bottom of L's (near-degenerate, Lanczos-
+    hostile) spectrum sharpened by ~q per iteration. This is the matvec-only
+    TPU answer to the reference's shift-invert Spectra/Lanczos path
+    (``spectral_clustering.hpp:88-180``), which instead pays a sparse
+    factorization. Eigenvalues are recovered from the filtered eigenvectors
+    by Rayleigh quotients against the true L (exact for converged vectors).
+    σ = 2 for the normalized Laplacian, a Gershgorin bound otherwise.
+
+    ``tol=0.0`` (default) runs all ``max_iterations`` LOBPCG steps: the
+    filtered spectrum packs the sought eigenvalues into a narrow band near
+    1, where LOBPCG's default f32 stopping rule fires many decades too
+    early (observed: stop at iteration 6 on the *wrong* interior modes).
+    Returns ``(embedding (N, num_components), eigenvalues ascending)``.
+    """
+    from jax.experimental.sparse.linalg import lobpcg_standard
+
+    n = indices.shape[0]
+    matvec, sigma, dm = _knn_laplacian_matvec(indices, weights, mask, kind)
+
+    def filtered(x):
+        for _ in range(max(1, filter_degree)):
+            x = x - matvec(x) / sigma
+        return x
+
+    x0 = jax.random.normal(key, (n, num_components), weights.dtype)
+    _, v, _ = lobpcg_standard(filtered, x0, m=max_iterations, tol=tol)
+    lam = jnp.einsum("nk,nk->k", v, matvec(v))  # Rayleigh (v orthonormal)
+    order = jnp.argsort(lam)
+    lam = lam[order]
+    emb = v[:, order]
+    if kind == "random_walk":
+        emb = emb * dm[:, None]
+    return emb, lam
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_clusters", "kind", "max_embedding_dim",
+                     "row_normalize", "max_iterations", "filter_degree"),
+)
+def spectral_clustering_knn(
+    key: jax.Array,
+    indices: jax.Array,
+    weights: jax.Array,
+    mask: jax.Array,
+    num_clusters: Optional[int] = None,
+    *,
+    kind: str = "normalized",
+    max_embedding_dim: int = 8,
+    row_normalize: bool = True,
+    max_iterations: int = 100,
+    filter_degree: int = 8,
+) -> SpectralResult:
+    """Spectral clustering on a masked kNN affinity graph — the large-N twin
+    of :func:`spectral_clustering` (same eigengap estimation and k-means on
+    the row-normalized embedding; iterative embedding instead of dense
+    ``eigh``)."""
+    k_key, e_key = jax.random.split(key)
+    k_emb = max_embedding_dim if num_clusters is None else num_clusters
+    emb, vals = spectral_embedding_knn(
+        e_key, indices, weights, mask, k_emb, kind=kind,
+        max_iterations=max_iterations, filter_degree=filter_degree,
+    )
+    if num_clusters is None:
+        n_est = estimate_num_clusters_eigengap(vals)
+        col_ok = jnp.arange(k_emb)[None, :] < n_est
+        emb = jnp.where(col_ok, emb, 0.0)
+        k_fit = k_emb
+        num = n_est
+    else:
+        k_fit = num_clusters
+        num = jnp.int32(num_clusters)
+    if row_normalize:
+        emb = emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-30
+        )
+    km = kmeans(k_key, emb, k_fit)
     return SpectralResult(
         labels=km.labels,
         embedding=emb,
