@@ -73,6 +73,39 @@ class TestFusion:
             < 2e-3
         )
 
+    def test_localize_multi_gn_steps(self):
+        """icp_gn_iterations=2 (the reference's max_optimization_iterations
+        knob) recovers the same pose with fewer correspondence updates."""
+        pts, nrm, valid = frame_from_depth(wavy_depth())
+        fmap = init_map_from_frame(H * W * 2, pts, nrm, None, valid)
+        pose2 = small_pose()
+        cam2 = inverse(pose2)
+        pose_est, res = localize(
+            fmap,
+            cam2.apply(pts),
+            cam2.apply_normals(nrm),
+            valid,
+            Transform(jnp.eye(3), jnp.zeros(3)),
+            K,
+            height=H,
+            width=W,
+            cfg=FusionConfig(
+                icp_iterations=5,
+                icp_gn_iterations=2,
+                icp_convergence_tol=1e-6,
+            ),
+        )
+        assert (
+            np.linalg.norm(np.asarray(pose_est.linear) - np.asarray(pose2.linear))
+            < 2e-3
+        )
+        assert (
+            np.linalg.norm(
+                np.asarray(pose_est.translation) - np.asarray(pose2.translation)
+            )
+            < 2e-3
+        )
+
     def test_integrate_fuses_not_grows(self):
         pts, nrm, valid = frame_from_depth(wavy_depth())
         fmap = init_map_from_frame(H * W * 2, pts, nrm, None, valid)
