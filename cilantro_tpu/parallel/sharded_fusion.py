@@ -42,6 +42,7 @@ from ..slam.fusion import (
     _MAP_WIDTH,
     _classify_and_build_rows,
     _conf_col,
+    _pool_gather,
     _valid_col,
 )
 
@@ -247,7 +248,12 @@ def sharded_fusion_step(
             touched = pix_of_slot >= 0
             new_data = jnp.where(
                 touched[:, None],
-                rows_out[jnp.where(touched, pix_of_slot, 0)],
+                _pool_gather(
+                    rows_out,
+                    pix_of_slot,
+                    jnp.where(touched, pix_of_slot, 0),
+                    cfg,
+                ),
                 data,
             )
         elif mode == "row_scatter":

@@ -175,6 +175,13 @@ class FusionConfig:
     # "auto" picks inverse_gather when capacity ≤ 3·H·W (the break-even:
     # capacity·17.5 ns + H·W·10 ns vs H·W·61 ns).
     update_mode: str = "auto"
+    # Route integrate's two big pool-row gathers (model rows by index map,
+    # update rows by inverse map) through the run-coalescing DMA kernel
+    # (core/coalesced.py): the streams are 96-100% consecutive runs because
+    # the pool is appended in image order, so one (2, 128)-lane window DMA
+    # replaces up to 8 per-row descriptors. Bit-exact vs plain gathers
+    # (test); off by default until it wins on the target chip.
+    coalesced_gathers: bool = False
 
 
 def radial_weights(
@@ -341,6 +348,22 @@ def localize(
     return new_pose, res
 
 
+def _pool_gather(data, raw_idx, safe_idx, cfg):
+    """Gather wide pool rows by index, optionally through the
+    run-coalescing DMA kernel. ``raw_idx`` may contain -1 (wildcards whose
+    rows the caller masks); ``safe_idx`` is the 0-clamped version used by
+    the plain path."""
+    if cfg.coalesced_gathers:
+        from ..core.coalesced import coalesced_gather
+
+        return coalesced_gather(
+            data,
+            raw_idx.astype(jnp.int32),
+            interpret=jax.default_backend() == "cpu",
+        )
+    return data[safe_idx]
+
+
 def _classify_and_build_rows(
     mrows: jax.Array,  # (H·W, 16) model row per pixel (0 where no hit)
     m_ok: jax.Array,  # (H·W,) model hit mask
@@ -502,7 +525,9 @@ def integrate_frame_with_imap(
 
     # ONE pool gather serves every per-pixel model read below; the camera
     # transform of normals runs on the gathered H·W rows, not the capacity.
-    mrows = jnp.where(m_ok[:, None], fmap.data[m_idx], 0.0)
+    mrows = jnp.where(
+        m_ok[:, None], _pool_gather(fmap.data, imap_flat, m_idx, cfg), 0.0
+    )
 
     (
         do_fuse,
@@ -598,7 +623,10 @@ def integrate_frame_with_imap(
         touched = pix_of_slot >= 0
         data = jnp.where(
             touched[:, None],
-            rows_out[jnp.where(touched, pix_of_slot, 0)],
+            _pool_gather(
+                rows_out, pix_of_slot, jnp.where(touched, pix_of_slot, 0),
+                cfg,
+            ),
             fmap.data,
         )
     elif mode == "row_scatter":

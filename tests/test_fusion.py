@@ -106,6 +106,25 @@ class TestFusion:
             < 2e-3
         )
 
+    def test_coalesced_gathers_bit_identical(self):
+        """The run-coalescing DMA gather path produces a bit-identical pool
+        (interpret-mode kernel on CPU)."""
+        from cilantro_tpu.slam import integrate_frame
+
+        pts, nrm, valid = frame_from_depth(wavy_depth())
+        fmap0 = init_map_from_frame(H * W * 2, pts, nrm, None, valid)
+        pts2, nrm2, valid2 = frame_from_depth(wavy_depth(0.3))
+        pose = small_pose()
+        out = {}
+        for coal in (False, True):
+            cfg = FusionConfig(coalesced_gathers=coal)
+            fmap = integrate_frame(
+                fmap0, pts2, nrm2, None, valid2, pose, K,
+                height=H, width=W, cfg=cfg,
+            )
+            out[coal] = np.asarray(fmap.data)
+        np.testing.assert_array_equal(out[False], out[True])
+
     def test_integrate_fuses_not_grows(self):
         pts, nrm, valid = frame_from_depth(wavy_depth())
         fmap = init_map_from_frame(H * W * 2, pts, nrm, None, valid)

@@ -73,6 +73,28 @@ class TestShardedFusion:
         cd = dd[dd[:, _valid_col(dd.shape[1])] > 0.5]
         assert np.abs(cs[:, 0:3].mean(0) - cd[:, 0:3].mean(0)).max() < 1e-3
 
+    def test_coalesced_update_bit_identical(self):
+        """Sharded update through the run-coalescing gather equals the plain
+        sharded update bit-exactly."""
+        depths, _ = synthetic_sequence(3, H, W, K, seed=7)
+        mesh = make_mesh(1, 8)
+        pts0, nrm0, val0 = depth_to_points_normals(jnp.asarray(depths[0]), K)
+        out = {}
+        for coal in (False, True):
+            cfg = FusionConfig(coalesced_gathers=coal)
+            sdata = init_sharded_map(mesh, 2 * H * W, pts0, nrm0, None, val0)
+            pose = identity(3)
+            for fi in range(1, 3):
+                pts, nrm, val = depth_to_points_normals(
+                    jnp.asarray(depths[fi]), K
+                )
+                sdata, pose, _ = sharded_fusion_step(
+                    sdata, pts, nrm, None, val, pose, K,
+                    mesh=mesh, height=H, width=W, cfg=cfg,
+                )
+            out[coal] = np.asarray(sdata)
+        np.testing.assert_array_equal(out[False], out[True])
+
     def test_uneven_capacity_padding(self):
         """A deliberately tiny pool: augments beyond per-shard capacity must
         drop gracefully (no wraparound writes, valid count bounded)."""
