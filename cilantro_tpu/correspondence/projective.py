@@ -85,17 +85,31 @@ def find_projective_correspondences_packed(
     tf: Optional[Transform] = None,
     src_valid: Optional[jax.Array] = None,
     max_distance: Optional[jax.Array] = None,
+    coalesced: bool = False,
 ):
     """Single-gather projective matching against a packed target image.
 
     Returns ``(s, dst_pts, dst_nrm, weights)`` — the transformed source, the
     matched model points/normals and 0/1 weights — ready for the GN
-    accumulators (no index indirection left)."""
+    accumulators (no index indirection left). ``coalesced`` routes the
+    gather through the run-coalescing DMA kernel (projected pixel indices of
+    an organized source are near-consecutive runs; out-of-image queries
+    become wildcards whose rows the mask already kills)."""
     s = src_points if tf is None else tf.apply(src_points)
     u, v, z = project_points(s, intrinsics)
     in_img = (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
-    pix_idx = jnp.where(in_img, v * w + u, 0)
-    row = packed_target[pix_idx]  # the ONE gather
+    if coalesced:
+        from ..core.coalesced import coalesced_gather
+
+        pix_idx = jnp.where(in_img, v * w + u, -1).astype(jnp.int32)
+        row = coalesced_gather(
+            packed_target,
+            pix_idx,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        pix_idx = jnp.where(in_img, v * w + u, 0)
+        row = packed_target[pix_idx]  # the ONE gather
     dst_pts = row[:, 0:3]
     dst_nrm = row[:, 3:6]
     mask = in_img & (row[:, 6] > 0.5)

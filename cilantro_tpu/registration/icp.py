@@ -438,6 +438,7 @@ def icp_projective(
         "target_has_normals",
         "max_iterations",
         "max_gn_iterations",
+        "coalesced",
     ),
 )
 def icp_projective_packed(
@@ -458,11 +459,13 @@ def icp_projective_packed(
     convergence_tol: float = 5e-4,
     max_gn_iterations: int = 1,
     max_corr_dist_sq: Optional[float] = 0.01,
+    coalesced: bool = False,
 ) -> ICPResult:
     """Projective ICP core over a pre-packed per-pixel target image — the
     shared hot loop of :func:`icp_projective` and the fusion localizer (which
     builds the packed image straight from its map pool, fusing the camera
-    transform into the one-time gather)."""
+    transform into the one-time gather). ``coalesced`` routes the
+    per-iteration pixel gather through the run-coalescing DMA kernel."""
     from ..correspondence.projective import (
         find_projective_correspondences_packed,
     )
@@ -485,6 +488,7 @@ def icp_projective_packed(
             tf=tf,
             src_valid=src_valid,
             max_distance=max_corr_dist_sq,
+            coalesced=coalesced,
         )
         if use_symmetric:
             ns = tf.apply_normals(src_normals)

@@ -341,6 +341,7 @@ def localize(
         convergence_tol=cfg.icp_convergence_tol,
         max_gn_iterations=cfg.icp_gn_iterations,
         max_corr_dist_sq=cfg.icp_max_corr_dist_sq,
+        coalesced=cfg.coalesced_gathers,
     )
     # res.transform maps frame (camera) points onto the model in the
     # *predicted* camera frame; world pose = pose_guess ∘ delta.

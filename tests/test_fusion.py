@@ -107,23 +107,29 @@ class TestFusion:
         )
 
     def test_coalesced_gathers_bit_identical(self):
-        """The run-coalescing DMA gather path produces a bit-identical pool
-        (interpret-mode kernel on CPU)."""
-        from cilantro_tpu.slam import integrate_frame
+        """The run-coalescing DMA gather path (localize + integrate) yields
+        bit-identical poses and pools (interpret-mode kernel on CPU)."""
+        from cilantro_tpu.slam.fusion import fusion_step
 
-        pts, nrm, valid = frame_from_depth(wavy_depth())
-        fmap0 = init_map_from_frame(H * W * 2, pts, nrm, None, valid)
-        pts2, nrm2, valid2 = frame_from_depth(wavy_depth(0.3))
-        pose = small_pose()
+        frames = [
+            frame_from_depth(wavy_depth(p)) for p in (0.0, 0.2, 0.4)
+        ]
         out = {}
         for coal in (False, True):
             cfg = FusionConfig(coalesced_gathers=coal)
-            fmap = integrate_frame(
-                fmap0, pts2, nrm2, None, valid2, pose, K,
-                height=H, width=W, cfg=cfg,
-            )
-            out[coal] = np.asarray(fmap.data)
-        np.testing.assert_array_equal(out[False], out[True])
+            pts, nrm, valid = frames[0]
+            fmap = init_map_from_frame(H * W * 2, pts, nrm, None, valid)
+            pose = Transform(jnp.eye(3), jnp.zeros(3))
+            mats = []
+            for pts, nrm, valid in frames[1:]:
+                fmap, pose, _, _, _ = fusion_step(
+                    fmap, pts, nrm, None, valid, pose, K,
+                    height=H, width=W, cfg=cfg,
+                )
+                mats.append(np.asarray(pose.matrix()))
+            out[coal] = (np.asarray(fmap.data), np.stack(mats))
+        np.testing.assert_array_equal(out[False][0], out[True][0])
+        np.testing.assert_array_equal(out[False][1], out[True][1])
 
     def test_integrate_fuses_not_grows(self):
         pts, nrm, valid = frame_from_depth(wavy_depth())
