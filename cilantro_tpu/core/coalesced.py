@@ -64,7 +64,7 @@ def _make_kernel(seg):
         # Rows 2..seg of fast-path segments are never DMA'd; zero the block
         # so stale/uninitialized lanes cannot poison the one-hot
         # realignment (0 * NaN = NaN).
-        raw_ref[...] = jnp.zeros_like(raw_ref)
+        raw_ref[...] = jnp.zeros(raw_ref.shape, raw_ref.dtype)
 
         def good_dma(j):
             return pltpu.make_async_copy(
@@ -135,9 +135,12 @@ def _window_fetch(src128, wins, rwins, good, *, seg, interpret=False):
             num_scalar_prefetch=0,
             grid=(grid,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
+                # Plan arrays stay in HBM; the kernel DMA-stages each grid
+                # step's aligned slice into SMEM scratch (whole-array SMEM
+                # inputs would not fit scalar memory).
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
