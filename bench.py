@@ -72,9 +72,13 @@ def bench_fusion_cpu(depths):
     best = float("inf")
     poses = None
     for _ in range(2):  # best-of-2 guards against host contention spikes
-        t0 = time.perf_counter()
-        poses = fusion_cpu(depths[:CPU_FRAMES], 525.0, 525.0, 319.5, 239.5)
-        best = min(best, (time.perf_counter() - t0) / (CPU_FRAMES - 1))
+        # timing=True starts the numpy clock after frame-0 map init — the
+        # same boundary the C++ library's out_ms uses, so both per-frame
+        # figures divide the same tracked-frame span.
+        poses, loop_s = fusion_cpu(
+            depths[:CPU_FRAMES], 525.0, 525.0, 319.5, 239.5, timing=True
+        )
+        best = min(best, loop_s / (CPU_FRAMES - 1))
     log(f"CPU fusion baseline (numpy): {best*1e3:.0f} ms/frame "
         f"({1.0/best:.2f} fps)")
     stack = np.stack(depths[:CPU_FRAMES]).astype(np.float32)

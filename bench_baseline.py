@@ -51,9 +51,16 @@ def zbuffer_index(points, valid, fx, fy, cx, cy, h, w):
     return idx[: h * w], zmin[: h * w]
 
 
-def fusion_cpu(depths, fx, fy, cx, cy, icp_iters=6, fuse_depth=0.01, occl=0.025):
+def fusion_cpu(depths, fx, fy, cx, cy, icp_iters=6, fuse_depth=0.01, occl=0.025,
+               timing=False):
     """Single-core frame-to-model fusion: projective combined-metric ICP +
-    fuse/augment/carve map update. Returns poses (list of 4x4)."""
+    fuse/augment/carve map update. Returns poses (list of 4x4); with
+    ``timing=True`` returns ``(poses, loop_seconds)`` where the clock starts
+    AFTER frame-0 back-projection/map init — the same work boundary the C++
+    baseline's ``out_ms`` uses, so the two per-frame figures divide the same
+    (len(depths) - 1) tracked frames over the same measured span."""
+    import time as _time
+
     h, w = depths[0].shape
     pts, nrm, valid = image_normals(depths[0], fx, fy, cx, cy)
     m_pts = pts[valid].copy()
@@ -61,6 +68,7 @@ def fusion_cpu(depths, fx, fy, cx, cy, icp_iters=6, fuse_depth=0.01, occl=0.025)
     m_conf = np.ones(len(m_pts))
     pose = np.eye(4)
     poses = [pose.copy()]
+    t_loop = _time.perf_counter()
     for fi in range(1, len(depths)):
         f_pts, f_nrm, f_valid = image_normals(depths[fi], fx, fy, cx, cy)
         r, t = pose[:3, :3], pose[:3, 3]
@@ -137,4 +145,6 @@ def fusion_cpu(depths, fx, fy, cx, cy, icp_iters=6, fuse_depth=0.01, occl=0.025)
         m_pts = np.concatenate([m_pts[keep], w_pts[do_aug]])
         m_nrm = np.concatenate([m_nrm[keep], w_nrm[do_aug]])
         m_conf = np.concatenate([m_conf[keep], np.ones(do_aug.sum())])
+    if timing:
+        return poses, _time.perf_counter() - t_loop
     return poses

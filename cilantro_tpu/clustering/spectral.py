@@ -103,6 +103,15 @@ def spectral_clustering(
     (static shapes)."""
     k_emb = max_embedding_dim if num_clusters is None else num_clusters
     emb, vals = spectral_embedding(affinity, k_emb, kind)
+    return _cluster_embedding(
+        key, emb, vals, num_clusters, k_emb, row_normalize
+    )
+
+
+def _cluster_embedding(key, emb, vals, num_clusters, k_emb, row_normalize):
+    """Shared tail of the dense and kNN paths: eigengap count estimation,
+    unused-column zeroing (static shapes), optional row normalization, and
+    the final k-means fit."""
     if num_clusters is None:
         n_est = estimate_num_clusters_eigengap(vals)
         col_ok = jnp.arange(k_emb)[None, :] < n_est
@@ -254,23 +263,6 @@ def spectral_clustering_knn(
         e_key, indices, weights, mask, k_emb, kind=kind,
         max_iterations=max_iterations, filter_degree=filter_degree,
     )
-    if num_clusters is None:
-        n_est = estimate_num_clusters_eigengap(vals)
-        col_ok = jnp.arange(k_emb)[None, :] < n_est
-        emb = jnp.where(col_ok, emb, 0.0)
-        k_fit = k_emb
-        num = n_est
-    else:
-        k_fit = num_clusters
-        num = jnp.int32(num_clusters)
-    if row_normalize:
-        emb = emb / jnp.maximum(
-            jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-30
-        )
-    km = kmeans(k_key, emb, k_fit)
-    return SpectralResult(
-        labels=km.labels,
-        embedding=emb,
-        eigenvalues=vals,
-        num_clusters=num,
+    return _cluster_embedding(
+        k_key, emb, vals, num_clusters, k_emb, row_normalize
     )

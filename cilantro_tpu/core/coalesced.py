@@ -201,19 +201,27 @@ def _plan(idx, c, seg):
 
 @partial(jax.jit, static_argnames=("interpret",))
 def coalesced_gather(
-    src: jax.Array, idx: jax.Array, *, interpret: bool = False
+    src: jax.Array, idx: jax.Array, *, interpret: bool | None = None
 ) -> jax.Array:
     """``src[idx]`` with run-coalesced DMA fetches.
 
-    ``src``: (C, 8) or (C, 16) float32 with C % (128/width) == 0.
+    ``src``: (C, 8) or (C, 16) float32 with C % (128/width) == 0 and
+    C >= 2 * (128/width) (the kernel's window unit); other shapes take the
+    plain XLA gather path.
     ``idx``: (N,) int32; negative entries are wildcards (unspecified output
     rows). Exact for all non-negative indices regardless of contiguity;
     fast when the stream is mostly runs.
+
+    ``interpret=None`` (default) selects the Mosaic kernel on TPU backends
+    and the Pallas interpreter elsewhere (CPU tests, any future non-TPU
+    backend) — call sites need no backend probe.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     c, w = src.shape
     n = idx.shape[0]
     if w not in (8, 16) or LANES % w or c % (LANES // w) \
-            or src.dtype != jnp.float32:
+            or c < 2 * (LANES // w) or src.dtype != jnp.float32:
         return src[jnp.clip(idx, 0, c - 1)]
     seg = LANES // w
 
@@ -238,5 +246,6 @@ def coalesced_gather(
     out = jnp.einsum(
         "skd,sdw->skw", onehot, rawb,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out.reshape(-1, w)[:n]

@@ -102,11 +102,7 @@ def find_projective_correspondences_packed(
         from ..core.coalesced import coalesced_gather
 
         pix_idx = jnp.where(in_img, v * w + u, -1).astype(jnp.int32)
-        row = coalesced_gather(
-            packed_target,
-            pix_idx,
-            interpret=jax.default_backend() == "cpu",
-        )
+        row = coalesced_gather(packed_target, pix_idx)
     else:
         pix_idx = jnp.where(in_img, v * w + u, 0)
         row = packed_target[pix_idx]  # the ONE gather

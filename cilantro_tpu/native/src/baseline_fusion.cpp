@@ -204,11 +204,16 @@ extern "C" int baseline_fusion(const float* depths, int n_frames, int h,
       model_cam[i] = pc;
       model_nrm_cam[i] = R.applyT(m_nrm[i]);
       if (pc.z <= 0) continue;
-      int u = int(std::lround(pc.x * fx / pc.z + cx));
-      int v = int(std::lround(pc.y * fy / pc.z + cy));
+      // nearbyint under the default FE_TONEAREST mode = half-to-even,
+      // matching the numpy pipeline's np.round so cross-check trajectories
+      // cannot diverge on exact .5 pixel coordinates.
+      int u = int(std::nearbyint(pc.x * fx / pc.z + cx));
+      int v = int(std::nearbyint(pc.y * fy / pc.z + cy));
       if (u < 0 || u >= w || v < 0 || v >= h) continue;
       int pix = v * w + u;
-      if (pc.z < mdepth[pix]) {
+      // <= so the LAST equal-depth point wins, matching the numpy
+      // pipeline's last-write-wins tie-break on exact depth ties.
+      if (pc.z <= mdepth[pix]) {
         mdepth[pix] = pc.z;
         imap[pix] = int(i);
       }
@@ -229,8 +234,8 @@ extern "C" int baseline_fusion(const float* depths, int n_frames, int h,
         if (!f.valid[i]) continue;
         V3 s = add(dR.apply(f.pts[i]), dT);
         if (s.z <= 0) continue;
-        int u = int(std::lround(s.x * fx / s.z + cx));
-        int v = int(std::lround(s.y * fy / s.z + cy));
+        int u = int(std::nearbyint(s.x * fx / s.z + cx));
+        int v = int(std::nearbyint(s.y * fy / s.z + cy));
         if (u < 0 || u >= w || v < 0 || v >= h) continue;
         int hit = imap[v * w + u];
         if (hit < 0) continue;

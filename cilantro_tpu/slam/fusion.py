@@ -357,11 +357,7 @@ def _pool_gather(data, raw_idx, safe_idx, cfg):
     if cfg.coalesced_gathers:
         from ..core.coalesced import coalesced_gather
 
-        return coalesced_gather(
-            data,
-            raw_idx.astype(jnp.int32),
-            interpret=jax.default_backend() == "cpu",
-        )
+        return coalesced_gather(data, raw_idx.astype(jnp.int32))
     return data[safe_idx]
 
 

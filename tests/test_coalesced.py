@@ -85,6 +85,17 @@ class TestCoalescedGather:
                 np.asarray(out)[valid], np.asarray(ref)[valid]
             )
 
+    def test_tiny_pool_falls_back(self):
+        # C < 2*seg rows cannot host the (2, 128) window unit; must take
+        # the plain-gather path instead of issuing a negative-offset DMA.
+        rng = np.random.default_rng(6)
+        for c, w in ((8, 16), (8, 8), (16, 16)):
+            s = jnp.asarray(rng.standard_normal((c, w)).astype(np.float32))
+            idx = jnp.asarray(
+                np.asarray(rng.integers(0, c, 300), np.int32))
+            out = coalesced_gather(s, idx, interpret=True)
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(s[idx]))
+
     def test_odd_width_falls_back(self):
         s3 = jnp.asarray(np.random.default_rng(5)
                          .standard_normal((256, 3)).astype(np.float32))
