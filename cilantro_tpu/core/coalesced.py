@@ -129,6 +129,11 @@ def _make_kernel(seg):
 def _window_fetch(src128, wins, rwins, good, *, seg, interpret=False):
     nseg = wins.shape[0]
     grid = nseg // NSEGB
+    # Inside a shard_map(check_vma=True) body the output must declare how it
+    # varies over mesh axes: it varies exactly like the union of the inputs.
+    vma = frozenset()
+    for o in (src128, wins, rwins, good):
+        vma |= frozenset(getattr(jax.typeof(o), "vma", ()) or ())
     return pl.pallas_call(
         _make_kernel(seg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -156,7 +161,9 @@ def _window_fetch(src128, wins, rwins, good, *, seg, interpret=False):
                 pltpu.SMEM((NSEGB,), jnp.int32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((seg * nseg, LANES), src128.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (seg * nseg, LANES), src128.dtype, vma=vma
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=96 * 1024 * 1024,
@@ -220,6 +227,16 @@ def coalesced_gather(
         interpret = jax.default_backend() != "tpu"
     c, w = src.shape
     n = idx.shape[0]
+    # Pallas' HLO interpreter cannot propagate varying-manual-axes through
+    # kernel-internal dynamic_slice (JAX limitation under
+    # shard_map(check_vma=True)); inside a checked shard_map body the
+    # CPU/interpret path takes the plain gather instead. The Mosaic TPU
+    # path is unaffected (kernel exactness is covered by tests and the
+    # sharded results are asserted bit-identical either way).
+    from .vma import operand_vma
+
+    if interpret and operand_vma(src, idx):
+        return src[jnp.clip(idx, 0, c - 1)]
     if w not in (8, 16) or LANES % w or c % (LANES // w) \
             or c < 2 * (LANES // w) or src.dtype != jnp.float32:
         return src[jnp.clip(idx, 0, c - 1)]

@@ -36,6 +36,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.transforms import Transform, compose, identity, reproject_rigid
+from ..core.vma import match_vma
 from ..neighbors.bruteforce import INVALID_DIST, _TILE_DISTS
 from ..registration.transform_estimation import (
     _gn_accumulate_3d,
@@ -91,9 +92,12 @@ def _local_nn_payload(q, keys, payload, key_valid, tile_m=2048):
             jnp.where(better[:, None], tile_pay, best_p),
         ), None
 
-    init = (
-        jnp.full((q.shape[0],), INVALID_DIST),
-        jnp.zeros((q.shape[0], payload.shape[1]), payload.dtype),
+    init = match_vma(
+        (
+            jnp.full((q.shape[0],), INVALID_DIST),
+            jnp.zeros((q.shape[0], payload.shape[1]), payload.dtype),
+        ),
+        q, keys,
     )
     (best_d, best_p), _ = jax.lax.scan(
         scan_tile, init, (key_tiles, pay_tiles, val_tiles)
@@ -195,7 +199,7 @@ def sharded_combined_icp(
             jax.tree_util.tree_map(lambda _: P(), Transform(jnp.eye(3), jnp.zeros(3))),
             P(),
         ),
-        check_vma=False,
+        check_vma=True,
     )
     return shard(src_points, src_valid, dst_points, dst_normals, dst_valid)
 
@@ -292,7 +296,7 @@ def sharded_combined_icp_ring(
             ),
             P(),
         ),
-        check_vma=False,
+        check_vma=True,
     )
     return shard(src_points, src_valid, dst_points, dst_normals, dst_valid)
 
@@ -367,5 +371,5 @@ def ring_nn1(
             P("points"),
         ),
         out_specs=(P("points"), P("points", None)),
-        check_vma=False,
+        check_vma=True,
     )(queries, query_valid, map_points, map_payload, map_valid)

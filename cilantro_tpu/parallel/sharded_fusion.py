@@ -284,7 +284,7 @@ def sharded_fusion_step(
         mesh=mesh,
         in_specs=tuple(in_specs),
         out_specs=(P(axis, None), rep, P()),
-        check_vma=False,
+        check_vma=True,
     )
     return shard(*args)
 

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.transforms import Transform, compose, identity, reproject_rigid
+from ..core.vma import match_vma
 from ..correspondence.search import (
     Correspondences,
     find_nn_correspondences,
@@ -206,11 +207,14 @@ def icp(
         _, dn, it, _ = carry
         return (it < max_iterations) & (dn >= convergence_tol)
 
-    init_state = (
-        init,
-        jnp.array(jnp.inf, src_points.dtype),
-        jnp.array(0, jnp.int32),
-        jnp.array(0, jnp.int32),
+    init_state = match_vma(
+        (
+            init,
+            jnp.array(jnp.inf, src_points.dtype),
+            jnp.array(0, jnp.int32),
+            jnp.array(0, jnp.int32),
+        ),
+        src_points, dst_points,
     )
     tf, dn, it, ncorr = jax.lax.while_loop(cond, body, init_state)
     return ICPResult(
@@ -524,11 +528,14 @@ def icp_projective_packed(
         _, dn, it, _ = carry
         return (it < max_iterations) & (dn >= convergence_tol)
 
-    state = (
-        init,
-        jnp.array(jnp.inf, src_points.dtype),
-        jnp.array(0, jnp.int32),
-        jnp.array(0, jnp.int32),
+    state = match_vma(
+        (
+            init,
+            jnp.array(jnp.inf, src_points.dtype),
+            jnp.array(0, jnp.int32),
+            jnp.array(0, jnp.int32),
+        ),
+        src_points, packed_target,
     )
     tf, dn, it, ncorr = jax.lax.while_loop(cond, body, state)
     return ICPResult(

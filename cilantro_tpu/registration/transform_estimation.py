@@ -29,6 +29,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..core.vma import match_vma
 from ..core.transforms import (
     Transform,
     axis_angle_to_rotation,
@@ -271,10 +272,13 @@ def estimate_rigid_combined_metric(
         _, dn, it = carry
         return (it < max_iterations) & (dn >= convergence_tol)
 
-    init = (
-        Transform(jnp.eye(d, dtype=src.dtype), jnp.zeros(d, src.dtype)),
-        jnp.array(jnp.inf, src.dtype),
-        jnp.array(0, jnp.int32),
+    init = match_vma(
+        (
+            Transform(jnp.eye(d, dtype=src.dtype), jnp.zeros(d, src.dtype)),
+            jnp.array(jnp.inf, src.dtype),
+            jnp.array(0, jnp.int32),
+        ),
+        src, dst,
     )
     tf, _, _ = jax.lax.while_loop(cond, body, init)
     # Un-center: T(μ_d) ∘ tf ∘ T(−μ_s) (transform_estimation.hpp:361-364).
@@ -337,10 +341,13 @@ def estimate_rigid_symmetric_metric(
         _, dn, it = carry
         return (it < max_iterations) & (dn >= convergence_tol)
 
-    init = (
-        Transform(jnp.eye(d, dtype=src.dtype), jnp.zeros(d, src.dtype)),
-        jnp.array(jnp.inf, src.dtype),
-        jnp.array(0, jnp.int32),
+    init = match_vma(
+        (
+            Transform(jnp.eye(d, dtype=src.dtype), jnp.zeros(d, src.dtype)),
+            jnp.array(jnp.inf, src.dtype),
+            jnp.array(0, jnp.int32),
+        ),
+        src, dst,
     )
     tf, _, _ = jax.lax.while_loop(cond, body, init)
     eye = jnp.eye(d, dtype=src.dtype)

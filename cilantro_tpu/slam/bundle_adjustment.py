@@ -332,7 +332,7 @@ def bundle_adjust_sharded(
             P("points"),
         ),
         out_specs=(rep, P("points", None), P()),
-        check_vma=False,
+        check_vma=True,
     )
     return shard(
         poses,

@@ -37,6 +37,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.rgbd import CameraIntrinsics, depth_to_points_normals
+from ..core.vma import match_vma
 from ..core.transforms import Transform, identity
 from .driver import FusionMetrics
 from .fusion import (
@@ -127,7 +128,9 @@ def run_fusion_sequence_pipelined(
 
             def skip(args):
                 fmap, pose, imap, packed = args
-                return fmap, pose, imap, packed, jnp.int32(0)
+                return fmap, pose, imap, packed, match_vma(
+                    jnp.int32(0), pose
+                )
 
             fmap, pose, imap, packed, iters = lax.cond(
                 (me == 1) & (inflight[3] > 0.5),
@@ -149,8 +152,15 @@ def run_fusion_sequence_pipelined(
             )
             return (nxt, fmap, pose, imap, packed), out
 
+        # Every carry component becomes device-varying on the first step
+        # (all updates branch on ``me``); cast the replicated initial values
+        # varying so the scan typechecks under check_vma=True.
+        init = jax.tree.map(
+            lambda x: lax.pcast(x, ("pipe",), to="varying"),
+            (empty_frame, fmap0, pose0, imap0, packed0),
+        )
         (_, fmap, pose, _, _), (mats, iters, flags) = lax.scan(
-            step, (empty_frame, fmap0, pose0, imap0, packed0), depth_stack
+            step, init, depth_stack
         )
         # stage-1 results → replicated outputs
         mats = lax.psum(mats, "pipe")
@@ -167,7 +177,7 @@ def run_fusion_sequence_pipelined(
             mesh=mesh,
             in_specs=(P(), P()),
             out_specs=(P(), P(), P(), P()),
-            check_vma=False,
+            check_vma=True,
         )
     )
 
