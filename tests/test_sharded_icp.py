@@ -45,6 +45,61 @@ def test_sharded_icp_recovers(rng):
     assert int(iters) < 30
 
 
+def test_sharded_icp_mesh_shape_sweep(rng):
+    """The registration must not depend on the mesh factorization: 2x4 and
+    1x8 meshes (4 and 8 map shards, beyond the usual 2) must agree with the
+    4x2 result and with single-device ICP."""
+    import pytest
+    from cilantro_tpu.registration import icp
+
+    n = 4096
+    xy = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+    z = (0.3 * np.sin(2 * xy[:, 0]) * np.cos(2 * xy[:, 1])).astype(np.float32)
+    pts = np.column_stack([xy, z])
+    ang = 0.05
+    r = np.array(
+        [
+            [np.cos(ang), -np.sin(ang), 0],
+            [np.sin(ang), np.cos(ang), 0],
+            [0, 0, 1],
+        ],
+        np.float32,
+    )
+    t = np.array([0.02, -0.01, 0.015], np.float32)
+    dst = pts @ r.T + t
+    nrm = np.zeros_like(dst)
+    nrm[:, 2] = 1.0
+    kw = dict(
+        max_corr_dist_sq=0.25,
+        max_iterations=30,
+        convergence_tol=1e-7,
+        point_weight=0.3,
+    )
+
+    ref = icp(
+        jnp.asarray(pts), jnp.asarray(dst), dst_normals=jnp.asarray(nrm),
+        metric="combined", **kw,
+    )
+    for np_shards, nm_shards in ((4, 2), (2, 4), (1, 8)):
+        mesh = make_mesh(np_shards, nm_shards)
+        src_s, sv = shard_cloud_arrays(mesh, "points", pts, np.ones(n, bool))
+        dst_s, dn, dv = shard_cloud_arrays(
+            mesh, "map", dst, nrm, np.ones(n, bool)
+        )
+        tf, iters = sharded_combined_icp(
+            src_s, sv, dst_s, dn, dv, mesh=mesh, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(tf.linear), np.asarray(ref.transform.linear),
+            atol=1e-5, err_msg=f"mesh {np_shards}x{nm_shards}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(tf.translation),
+            np.asarray(ref.transform.translation),
+            atol=1e-5, err_msg=f"mesh {np_shards}x{nm_shards}",
+        )
+
+
 def test_ring_nn1_matches_local(rng):
     from cilantro_tpu.parallel import ring_nn1
     from cilantro_tpu.neighbors import nn1
