@@ -105,6 +105,53 @@ def _local_nn_payload(q, keys, payload, key_valid, tile_m=2048):
     return best_d, best_p
 
 
+def _icp_gn_loop(
+    src, sv, nn_fn, psum_axes, *, max_iterations, convergence_tol,
+    max_corr_dist_sq, point_weight, plane_weight,
+):
+    """Shared shard_map-body ICP Gauss-Newton loop: per-iteration NN via
+    ``nn_fn(s) -> (best_d, payload[dst|dst_normal])``, psum'd normal
+    equations over ``psum_axes``, arctan-damped axis-angle update, SO(3)
+    re-projection, masked convergence test. Both the all_gather-tournament
+    and the ring entry points wrap this one body."""
+
+    def body(carry):
+        tf, _, it = carry
+        s = tf.apply(src)
+        best_d, best_p = nn_fn(s)
+        w = (sv & (best_d <= max_corr_dist_sq)).astype(s.dtype)
+        jtj, jtr = _gn_accumulate_3d(
+            s,
+            best_p[:, :3],
+            best_p[:, 3:],
+            w * point_weight,
+            w * plane_weight,
+        )
+        jtj = jax.lax.psum(jtj, psum_axes)
+        jtr = jax.lax.psum(jtr, psum_axes)
+        step = _solve_normal_equations(jtj, jtr, 6)
+        omega, t = step[:3], step[3:]
+        theta = jnp.linalg.norm(omega)
+        scale = jnp.where(
+            theta > _EPS, jnp.arctan(theta) / jnp.maximum(theta, _EPS), 1.0
+        )
+        delta = Transform(axis_angle_to_rotation(omega * scale), t)
+        new_tf = reproject_rigid(compose(delta, tf))
+        return new_tf, _delta_norm(delta), it + 1
+
+    def cond(carry):
+        _, dn_, it = carry
+        return (it < max_iterations) & (dn_ >= convergence_tol)
+
+    init = (
+        identity(3, dtype=src.dtype),
+        jnp.array(jnp.inf, src.dtype),
+        jnp.array(0, jnp.int32),
+    )
+    tf, _, iters = jax.lax.while_loop(cond, body, init)
+    return tf, iters
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -140,50 +187,24 @@ def sharded_combined_icp(
         # Inside shard_map: src (N/P, 3); dst (M/Q, 3) etc.
         payload = jnp.concatenate([dst, dn], axis=1)  # (M/Q, 6)
 
-        def body(carry):
-            tf, _, it = carry
-            s = tf.apply(src)
+        def nn_fn(s):
             d_loc, p_loc = _local_nn_payload(s, dst, payload, dv)
             # k=1 tournament across the map axis.
             d_all = jax.lax.all_gather(d_loc, "map")  # (Q, N/P)
             p_all = jax.lax.all_gather(p_loc, "map")  # (Q, N/P, 6)
             win = jnp.argmin(d_all, axis=0)  # (N/P,)
-            qn = s.shape[0]
-            rows = jnp.arange(qn)
-            best_d = d_all[win, rows]
-            best_p = p_all[win, rows]
-            w = (sv & (best_d <= max_corr_dist_sq)).astype(s.dtype)
-            jtj, jtr = _gn_accumulate_3d(
-                s,
-                best_p[:, :3],
-                best_p[:, 3:],
-                w * point_weight,
-                w * plane_weight,
-            )
-            # OpenMP matrix-sum reduction → psum over both mesh axes.
-            jtj = jax.lax.psum(jtj, ("points", "map"))
-            jtr = jax.lax.psum(jtr, ("points", "map"))
-            step = _solve_normal_equations(jtj, jtr, 6)
-            omega, t = step[:3], step[3:]
-            theta = jnp.linalg.norm(omega)
-            scale = jnp.where(
-                theta > _EPS, jnp.arctan(theta) / jnp.maximum(theta, _EPS), 1.0
-            )
-            delta = Transform(axis_angle_to_rotation(omega * scale), t)
-            new_tf = reproject_rigid(compose(delta, tf))
-            return new_tf, _delta_norm(delta), it + 1
+            rows = jnp.arange(s.shape[0])
+            return d_all[win, rows], p_all[win, rows]
 
-        def cond(carry):
-            _, dn_, it = carry
-            return (it < max_iterations) & (dn_ >= convergence_tol)
-
-        init = (
-            identity(3, dtype=src.dtype),
-            jnp.array(jnp.inf, src.dtype),
-            jnp.array(0, jnp.int32),
+        # OpenMP matrix-sum reduction → psum over both mesh axes.
+        return _icp_gn_loop(
+            src, sv, nn_fn, ("points", "map"),
+            max_iterations=max_iterations,
+            convergence_tol=convergence_tol,
+            max_corr_dist_sq=max_corr_dist_sq,
+            point_weight=point_weight,
+            plane_weight=plane_weight,
         )
-        tf, _, iters = jax.lax.while_loop(cond, body, init)
-        return tf, iters
 
     shard = jax.shard_map(
         step_program,
@@ -242,43 +263,17 @@ def sharded_combined_icp_ring(
     def step_program(src, sv, dst, dn, dv):
         payload = jnp.concatenate([dst, dn], axis=1)  # (M/D, 6)
 
-        def body(carry):
-            tf, _, it = carry
-            s = tf.apply(src)
-            best_d, best_p = _ring_nn1_program(
-                s, sv, dst, payload, dv, axis, nshards
-            )
-            w = (sv & (best_d <= max_corr_dist_sq)).astype(s.dtype)
-            jtj, jtr = _gn_accumulate_3d(
-                s,
-                best_p[:, :3],
-                best_p[:, 3:],
-                w * point_weight,
-                w * plane_weight,
-            )
-            jtj = jax.lax.psum(jtj, axis)
-            jtr = jax.lax.psum(jtr, axis)
-            step = _solve_normal_equations(jtj, jtr, 6)
-            omega, t = step[:3], step[3:]
-            theta = jnp.linalg.norm(omega)
-            scale = jnp.where(
-                theta > _EPS, jnp.arctan(theta) / jnp.maximum(theta, _EPS), 1.0
-            )
-            delta = Transform(axis_angle_to_rotation(omega * scale), t)
-            new_tf = reproject_rigid(compose(delta, tf))
-            return new_tf, _delta_norm(delta), it + 1
+        def nn_fn(s):
+            return _ring_nn1_program(s, sv, dst, payload, dv, axis, nshards)
 
-        def cond(carry):
-            _, dn_, it = carry
-            return (it < max_iterations) & (dn_ >= convergence_tol)
-
-        init = (
-            identity(3, dtype=src.dtype),
-            jnp.array(jnp.inf, src.dtype),
-            jnp.array(0, jnp.int32),
+        return _icp_gn_loop(
+            src, sv, nn_fn, (axis,),
+            max_iterations=max_iterations,
+            convergence_tol=convergence_tol,
+            max_corr_dist_sq=max_corr_dist_sq,
+            point_weight=point_weight,
+            plane_weight=plane_weight,
         )
-        tf, _, iters = jax.lax.while_loop(cond, body, init)
-        return tf, iters
 
     shard = jax.shard_map(
         step_program,

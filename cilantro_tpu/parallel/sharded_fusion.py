@@ -42,8 +42,10 @@ from ..slam.fusion import (
     _MAP_WIDTH,
     _classify_and_build_rows,
     _conf_col,
-    _pool_gather,
     _valid_col,
+    apply_pool_update,
+    free_slot_table,
+    pack_camera_target,
 )
 
 _INT_MAX = 2**31 - 1  # plain int: no device constants at import time
@@ -126,16 +128,7 @@ def sharded_fusion_step(
         )
         mimg, _, _ = _model_image(data, base, widx, axis)
         ok = (widx >= 0) & (mimg[:, _valid_col(mimg.shape[1])] > 0.5)
-        pts_cam = cam_g.apply(mimg[:, 0:3])
-        nrm_cam = cam_g.apply_normals(mimg[:, 3:6])
-        flag = ok.astype(jnp.float32)[:, None]
-        packed = jnp.where(
-            ok[:, None],
-            jnp.concatenate(
-                [pts_cam, nrm_cam, flag, jnp.zeros_like(flag)], axis=1
-            ),
-            0.0,
-        )
+        packed = pack_camera_target(mimg, ok, cam_g)
         s = cfg.localize_stride
         if s > 1:
             rows = jnp.arange(0, height, s)
@@ -164,6 +157,7 @@ def sharded_fusion_step(
             max_iterations=cfg.icp_iterations,
             convergence_tol=cfg.icp_convergence_tol,
             max_corr_dist_sq=cfg.icp_max_corr_dist_sq,
+            coalesced=cfg.coalesced_gathers,
         )
         pose = compose(pose_g, res.transform)
 
@@ -201,15 +195,7 @@ def sharded_fusion_step(
         # Augment dealing: pixel i with augment rank r goes to shard
         # r % nshards, claiming that shard's (r // nshards)-th free slot.
         valid_local = data[:, _valid_col(data.shape[1])] > 0.5
-        free = ~valid_local
-        rank_of_slot = jnp.cumsum(free.astype(jnp.int32)) - 1
-        cap_ids = jnp.arange(c_local, dtype=jnp.int32)
-        slot_of_rank = (
-            jnp.zeros((c_local,), jnp.int32)
-            .at[jnp.where(free, rank_of_slot, c_local)]
-            .set(cap_ids, mode="drop", unique_indices=True)
-        )
-        num_free = jnp.sum(free)
+        slot_of_rank, num_free = free_slot_table(valid_local)
         aug_rank = jnp.cumsum(do_augment.astype(jnp.int32)) - 1
         mine = do_augment & (aug_rank % nshards == d_id)
         local_rank = aug_rank // nshards
@@ -228,40 +214,10 @@ def sharded_fusion_step(
             fuse_rows,
             jnp.where(do_carve[:, None], carve_row[None, :], aug_rows),
         )
-        mode = cfg.update_mode
-        if mode == "auto":
-            mode = "inverse_gather" if c_local <= 3 * hw else "row_scatter"
-        if mode == "inverse_gather":
-            # Same trick as the single-device integrator
-            # (fusion.py: FusionConfig.update_mode): per-shard capacity is
-            # C/D rows, so the capacity-scaled gather+rewrite wins even
-            # harder here than single-device.
-            pix_of_slot = (
-                jnp.full((c_local,), -1, jnp.int32)
-                .at[tgt]
-                .set(
-                    jnp.arange(hw, dtype=jnp.int32),
-                    mode="drop",
-                    unique_indices=True,
-                )
-            )
-            touched = pix_of_slot >= 0
-            new_data = jnp.where(
-                touched[:, None],
-                _pool_gather(
-                    rows_out,
-                    pix_of_slot,
-                    jnp.where(touched, pix_of_slot, 0),
-                    cfg,
-                ),
-                data,
-            )
-        elif mode == "row_scatter":
-            new_data = data.at[tgt].set(
-                rows_out, mode="drop", unique_indices=True
-            )
-        else:
-            raise ValueError(f"unknown update_mode {cfg.update_mode!r}")
+        # Same update helper as the single-device integrator; per-shard
+        # capacity is C/D rows, so the inverse-gather mode's capacity-scaled
+        # gather+rewrite wins even harder here than single-device.
+        new_data = apply_pool_update(data, tgt, rows_out, cfg)
         return new_data, pose, widx
 
     rep = jax.tree_util.tree_map(lambda _: P(), pose_guess)

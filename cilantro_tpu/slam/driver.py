@@ -109,6 +109,8 @@ def run_fusion_sequence(
     packed = None  # rebuilt from imap on the first step; cached thereafter
 
     t0 = time.perf_counter()
+    t_first = None  # wall time of the first step (absorbs jit compiles)
+    t_ckpt = 0.0  # checkpoint writes are persistence, not pipeline time
     for fi in range(start, len(depths)):
         pts, nrm, valid = depth_to_points_normals(staged[fi], intrinsics)
         colf = col_staged[fi] if col_staged is not None else None
@@ -121,11 +123,14 @@ def run_fusion_sequence(
         )
         poses_dev.append(pose.matrix())
         iters_dev.append(res.iterations)
+        if t_first is None:
+            t_first = time.perf_counter() - t0
         if (
             checkpoint_path is not None
             and checkpoint_every is not None
             and (fi - start + 1) % checkpoint_every == 0
         ):
+            tc = time.perf_counter()
             save_checkpoint(
                 checkpoint_path,
                 fmap,
@@ -134,9 +139,20 @@ def run_fusion_sequence(
                 index_map=imap,
                 icp_iterations=[int(i) for i in iters_dev],
             )
+            t_ckpt += time.perf_counter() - tc
     # One sync at the end bounds the whole pipeline.
     n_map = int(fmap.num_points())
-    dt = (time.perf_counter() - t0) / max(len(depths) - start, 1)
+    total = time.perf_counter() - t0 - t_ckpt
+    n_steps = len(depths) - start
+    # Report steady-state seconds/frame: the first step's host time is
+    # dominated by tracing + XLA compilation (minutes on a cold TPU
+    # program), which would otherwise swamp a short sequence's average —
+    # the scanned/pipelined drivers warm up before timing for the same
+    # reason.
+    if n_steps >= 2 and t_first is not None:
+        dt = (total - t_first) / (n_steps - 1)
+    else:
+        dt = total / max(n_steps, 1)
     if checkpoint_path is not None and checkpoint_every is None:
         save_checkpoint(
             checkpoint_path,
@@ -242,7 +258,10 @@ def synthetic_sequence(
         # Render: scene in camera frame = R⁻¹(X − t).
         cam_pts = (scene - pose[:3, 3]) @ r  # (N, 3) @ R = Rᵀ applied rowwise
         dn = render_depth(cam_pts.astype(np.float32))
-        # Fill tiny z-buffer holes with a 3×3 min-pool of neighbors.
+        # Fill tiny z-buffer holes from the 3×3 neighborhood. grey_dilation
+        # is a MAX filter (holes carry 0, so any real neighbor wins); the
+        # filled depth is therefore the FARTHEST neighbor, a conservative
+        # choice that cannot hallucinate surface in front of the scene.
         holes = dn == 0
         if holes.any():
             from scipy.ndimage import grey_dilation
@@ -280,9 +299,18 @@ def run_fusion_sequence_scanned(
     if map_capacity is None:
         map_capacity = 4 * h * w
 
-    depth_stack = jnp.asarray(np.stack(depths[1:]))  # (F-1, H, W)
     pts, nrm, valid = depth_to_points_normals(jnp.asarray(depths[0]), intrinsics)
     fmap0 = init_map_from_frame(map_capacity, pts, nrm, None, valid)
+    if len(depths) == 1:  # nothing to track: the seeded map is the result
+        return fmap0, FusionMetrics(
+            poses=[np.eye(4, dtype=np.float32)],
+            frames=1,
+            seconds_per_frame=0.0,
+            icp_iterations=[0],
+            num_map_points=int(fmap0.num_points()),
+        )
+
+    depth_stack = jnp.asarray(np.stack(depths[1:]))  # (F-1, H, W)
 
     @_partial(jax.jit, static_argnames=())
     def run(fmap0, depth_stack):

@@ -315,17 +315,7 @@ def localize(
         ok = hit >= 0
         rows = fmap.data[jnp.where(ok, hit, 0)]
         ok &= rows[:, _valid_col(rows.shape[1])] > 0.5
-        rows = jnp.where(ok[:, None], rows, 0.0)  # keep masked lanes finite
-        pts_cam = cam_from_world.apply(rows[:, 0:3])
-        nrm_cam = cam_from_world.apply_normals(rows[:, 3:6])
-        flag = ok.astype(jnp.float32)[:, None]
-        packed = jnp.where(
-            ok[:, None],
-            jnp.concatenate(
-                [pts_cam, nrm_cam, flag, jnp.zeros_like(flag)], axis=1
-            ),
-            0.0,
-        )
+        packed = pack_camera_target(rows, ok, cam_from_world)
     res = icp_projective_packed(
         frame_points,
         packed,
@@ -347,6 +337,85 @@ def localize(
     # *predicted* camera frame; world pose = pose_guess ∘ delta.
     new_pose = compose(pose_guess, res.transform)
     return new_pose, res
+
+
+def free_slot_table(valid: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """``(slot_of_rank, num_free)``: rank ``r`` → index of the ``r``-th free
+    slot, built with ONE unique-index scatter (free-slot ranks are distinct;
+    occupied slots take DISTINCT out-of-bounds indices so ``mode="drop"``
+    discards them without violating the ``unique_indices=True`` contract).
+    Avoids a capacity-sized sort per frame."""
+    free = ~valid
+    c = valid.shape[0]
+    rank_of_slot = jnp.cumsum(free.astype(jnp.int32)) - 1
+    cap_ids = jnp.arange(c, dtype=jnp.int32)
+    slot_of_rank = (
+        jnp.zeros((c,), jnp.int32)
+        .at[jnp.where(free, rank_of_slot, c + cap_ids)]
+        .set(cap_ids, mode="drop", unique_indices=True)
+    )
+    return slot_of_rank, jnp.sum(free)
+
+
+def apply_pool_update(
+    data: jax.Array, tgt: jax.Array, rows_out: jax.Array, cfg: "FusionConfig"
+) -> jax.Array:
+    """ONE combined pool update: write ``rows_out[i]`` to slot ``tgt[i]``
+    (out-of-bounds targets dropped; targets must be unique — z-buffer
+    winners, dealt free slots, and distinct OOB lanes are by construction).
+
+    ``cfg.update_mode`` dispatch: ``row_scatter`` is the direct wide-row
+    scatter (~61 ns/row over the update count); ``inverse_gather`` inverts
+    pixel→slot into slot→pixel with a 1-channel scatter (fast path), then
+    GATHERs each updated slot's row and rewrites the pool — the wide-row
+    latency is paid at gather rates (~17.5 ns/row over capacity) instead.
+    ``auto`` picks inverse_gather when capacity ≤ 3·updates (the measured
+    break-even)."""
+    c = data.shape[0]
+    n_upd = tgt.shape[0]
+    mode = cfg.update_mode
+    if mode == "auto":
+        mode = "inverse_gather" if c <= 3 * n_upd else "row_scatter"
+    if mode == "inverse_gather":
+        pix_of_slot = (
+            jnp.full((c,), -1, jnp.int32)
+            .at[tgt]
+            .set(
+                jnp.arange(n_upd, dtype=jnp.int32),
+                mode="drop",
+                unique_indices=True,
+            )
+        )
+        touched = pix_of_slot >= 0
+        return jnp.where(
+            touched[:, None],
+            _pool_gather(
+                rows_out, pix_of_slot, jnp.where(touched, pix_of_slot, 0),
+                cfg,
+            ),
+            data,
+        )
+    if mode == "row_scatter":
+        return data.at[tgt].set(rows_out, mode="drop", unique_indices=True)
+    raise ValueError(f"unknown update_mode {cfg.update_mode!r}")
+
+
+def pack_camera_target(rows: jax.Array, ok: jax.Array, cam) -> jax.Array:
+    """Pack the 8-column camera-frame localize target consumed by
+    ``find_projective_correspondences_packed``: ``[pts_cam | nrm_cam |
+    flag | 0]`` per pixel, zeroed where ``~ok`` (masked lanes stay finite).
+    ``rows`` are pool rows in world frame; ``cam`` maps world → camera."""
+    rows = jnp.where(ok[:, None], rows, 0.0)
+    pts_cam = cam.apply(rows[:, 0:3])
+    nrm_cam = cam.apply_normals(rows[:, 3:6])
+    flag = ok.astype(jnp.float32)[:, None]
+    return jnp.where(
+        ok[:, None],
+        jnp.concatenate(
+            [pts_cam, nrm_cam, flag, jnp.zeros_like(flag)], axis=1
+        ),
+        0.0,
+    )
 
 
 def _pool_gather(data, raw_idx, safe_idx, cfg):
@@ -495,10 +564,12 @@ def integrate_frame_with_imap(
     height: int,
     width: int,
     cfg: FusionConfig = FusionConfig(),
-) -> FusionMap:
+) -> Tuple[FusionMap, jax.Array, jax.Array]:
     """Fuse / augment / carve one organized frame into the model
-    (``fusion.cpp:148-238``). Returns ``(map, index_map)`` — the render at
-    ``pose`` doubles as the next frame's localize target."""
+    (``fusion.cpp:148-238``). Returns ``(map, index_map, packed_next)`` —
+    the render at ``pose`` doubles as the next frame's localize target, and
+    ``packed_next`` is that target already packed in camera frame (see
+    :func:`localize`)."""
     if frame_colors is not None and fmap.data.shape[1] == _MAP_WIDTH_NC:
         raise ValueError(
             "map was initialized without colors (width-8 pool); "
@@ -553,21 +624,10 @@ def integrate_frame_with_imap(
     # --- free-slot assignment for augments -------------------------------
     aug_rank = jnp.cumsum(do_augment.astype(jnp.int32)) - 1  # per pixel
     if cfg.reuse_carved_slots:
-        # Exact: rank→slot built with one unique-index scatter (ranks of
-        # free slots are distinct), avoiding a capacity-sized sort per
-        # frame. Carved slots become reusable from the NEXT frame (their
-        # rows are written this frame, so they cannot double as augment
-        # targets).
-        valid = fmap.valid
-        free = ~valid
-        rank_of_slot = jnp.cumsum(free.astype(jnp.int32)) - 1
-        cap_ids = jnp.arange(fmap.capacity, dtype=jnp.int32)
-        slot_of_rank = (
-            jnp.zeros((fmap.capacity,), jnp.int32)
-            .at[jnp.where(free, rank_of_slot, fmap.capacity)]
-            .set(cap_ids, mode="drop", unique_indices=True)
-        )
-        num_free = jnp.sum(free)
+        # Exact free-slot reuse (carved slots become reusable from the NEXT
+        # frame: their rows are written this frame, so they cannot double
+        # as augment targets).
+        slot_of_rank, num_free = free_slot_table(fmap.valid)
         aug_slot = slot_of_rank[jnp.clip(aug_rank, 0, fmap.capacity - 1)]
         aug_ok = do_augment & (aug_rank < num_free)
     else:
@@ -597,41 +657,7 @@ def integrate_frame_with_imap(
         fuse_rows,
         jnp.where(do_carve[:, None], carve_row[None, :], aug_rows),
     )
-    mode = cfg.update_mode
-    if mode == "auto":
-        mode = (
-            "inverse_gather" if fmap.capacity <= 3 * npix else "row_scatter"
-        )
-    if mode == "inverse_gather":
-        # Invert pixel→slot into slot→pixel with a 1-channel scatter (fast
-        # path), then GATHER each updated slot's row and rewrite the pool —
-        # the wide-row latency is paid at gather rates (~17.5 ns/row over
-        # capacity) instead of scatter rates (~61 ns/row over H·W). See
-        # FusionConfig.update_mode.
-        pix_of_slot = (
-            jnp.full((fmap.capacity,), -1, jnp.int32)
-            .at[tgt]
-            .set(
-                jnp.arange(npix, dtype=jnp.int32),
-                mode="drop",
-                unique_indices=True,
-            )
-        )
-        touched = pix_of_slot >= 0
-        data = jnp.where(
-            touched[:, None],
-            _pool_gather(
-                rows_out, pix_of_slot, jnp.where(touched, pix_of_slot, 0),
-                cfg,
-            ),
-            fmap.data,
-        )
-    elif mode == "row_scatter":
-        data = fmap.data.at[tgt].set(
-            rows_out, mode="drop", unique_indices=True
-        )
-    else:
-        raise ValueError(f"unknown update_mode {cfg.update_mode!r}")
+    data = apply_pool_update(fmap.data, tgt, rows_out, cfg)
 
     # Next frame's localize warm-starts at THIS pose against THIS render —
     # emit its packed camera-frame target from rows already in hand (a
@@ -643,16 +669,7 @@ def integrate_frame_with_imap(
         m_ok & ~do_carve
         & (post_rows[:, _valid_col(post_rows.shape[1])] > 0.5)
     )
-    pts_cam_post = cam_from_world.apply(post_rows[:, 0:3])
-    nrm_cam_post = cam_from_world.apply_normals(post_rows[:, 3:6])
-    flag = alive.astype(jnp.float32)[:, None]
-    packed_next = jnp.where(
-        alive[:, None],
-        jnp.concatenate(
-            [pts_cam_post, nrm_cam_post, flag, jnp.zeros_like(flag)], axis=1
-        ),
-        0.0,
-    )
+    packed_next = pack_camera_target(post_rows, alive, cam_from_world)
     return FusionMap(data=data), imap, packed_next
 
 
@@ -683,23 +700,9 @@ def seed_localize_target(
     )
     hit = imap.reshape(-1)
     ok = hit >= 0
-    rows = jnp.where(ok[:, None], fmap.data[jnp.where(ok, hit, 0)], 0.0)
+    rows = fmap.data[jnp.where(ok, hit, 0)]
     ok &= rows[:, _valid_col(rows.shape[1])] > 0.5
-    flag = ok.astype(jnp.float32)[:, None]
-    packed = jnp.where(
-        ok[:, None],
-        jnp.concatenate(
-            [
-                cam.apply(rows[:, 0:3]),
-                cam.apply_normals(rows[:, 3:6]),
-                flag,
-                jnp.zeros_like(flag),
-            ],
-            axis=1,
-        ),
-        0.0,
-    )
-    return imap, packed
+    return imap, pack_camera_target(rows, ok, cam)
 
 
 @partial(

@@ -148,7 +148,9 @@ def detect_loop_closures(
     k = len(graph.keyframes)
     existing = set(zip(graph.edge_i, graph.edge_j))
     for j in range(k):
-        for i in range(j - min_separation):
+        # i ranges over keyframes separated from j by AT LEAST
+        # min_separation (j - i >= min_separation), inclusive.
+        for i in range(j - min_separation + 1):
             if (i, j) in existing:
                 continue
             a, b = graph.keyframes[i], graph.keyframes[j]

@@ -77,6 +77,18 @@ def run_fusion_sequence_pipelined(
     if map_capacity is None:
         map_capacity = 4 * h * w
     n_fuse = len(depths) - 1
+    if n_fuse == 0:  # single frame: the seeded map is the result
+        pts, nrm, valid = depth_to_points_normals(
+            jnp.asarray(depths[0]), intrinsics
+        )
+        fmap0 = init_map_from_frame(map_capacity, pts, nrm, None, valid)
+        return fmap0, FusionMetrics(
+            poses=[np.eye(4, dtype=np.float32)],
+            frames=1,
+            seconds_per_frame=0.0,
+            icp_iterations=[0],
+            num_map_points=int(fmap0.num_points()),
+        )
 
     # Frames 1..F-1 + one zero drain frame; frame 0 seeds the map.
     depth_stack = jnp.asarray(
