@@ -62,3 +62,36 @@ def test_scanned_with_localize_stride():
         cfg=FusionConfig(localize_stride=2),
     )
     assert ate_rmse(m.poses, gt) < 0.01
+
+
+def test_single_frame_sequences():
+    # One-frame input: every driver returns the seeded map, no tracking.
+    from cilantro_tpu.slam import run_fusion_sequence_scanned
+
+    k = CameraIntrinsics.make(120.0, 120.0, 63.5, 47.5)
+    h, w = 96, 128
+    depths, _ = synthetic_sequence(1, h, w, k, seed=0)
+    fmap, m = run_fusion_sequence_scanned(depths, k, map_capacity=4 * h * w)
+    assert m.frames == 1 and len(m.poses) == 1
+    assert np.allclose(m.poses[0], np.eye(4))
+    assert m.num_map_points > 0
+
+    fmap2, m2 = run_fusion_sequence(depths, k, map_capacity=4 * h * w)
+    assert m2.frames == 1 and len(m2.poses) == 1
+    assert m2.num_map_points == m.num_map_points
+
+
+def test_free_slot_table_contract():
+    # slot_of_rank maps rank r to the r-th free slot, for every occupancy
+    # pattern; occupied-slot lanes must not clobber real entries.
+    import jax.numpy as jnp
+    from cilantro_tpu.slam.fusion import free_slot_table
+
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        valid = jnp.asarray(rng.random(64) < 0.6)
+        slot_of_rank, num_free = free_slot_table(valid)
+        expected = np.flatnonzero(~np.asarray(valid))
+        assert int(num_free) == expected.size
+        got = np.asarray(slot_of_rank)[: expected.size]
+        np.testing.assert_array_equal(got, expected)

@@ -76,3 +76,22 @@ def test_relative_pose_roundtrip(rng):
     b[:3, 3] = rng.standard_normal(3)
     z = relative_pose(a, b)
     np.testing.assert_allclose(a @ z, b, atol=1e-5)
+
+
+def test_loop_closure_min_separation_inclusive(rng):
+    # A pair separated by EXACTLY min_separation qualifies (j - i >= sep).
+    from cilantro_tpu.slam import KeyframeGraph
+
+    scene = rng.uniform(-1, 1, (4000, 3)).astype(np.float32)
+    scene[:, 2] = 0.3 * np.sin(3 * scene[:, 0]) + 3.0
+    graph = KeyframeGraph.empty()
+    for i in range(4):
+        spawn_keyframe(
+            graph, i, np.eye(4, dtype=np.float32), scene, None,
+            subsample=2000,
+        )
+    detect_loop_closures(
+        graph, min_separation=3, max_translation=0.5,
+        icp_max_corr_dist_sq=0.25,
+    )
+    assert (0, 3) in set(zip(graph.edge_i, graph.edge_j))

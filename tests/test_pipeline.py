@@ -48,3 +48,15 @@ def test_pipeline_mesh_requires_two_devices():
 
     with pytest.raises(ValueError):
         make_pipeline_mesh(jax.devices()[:1])
+
+
+def test_pipelined_single_frame():
+    from cilantro_tpu.core import CameraIntrinsics
+    from cilantro_tpu.slam import synthetic_sequence
+    from cilantro_tpu.slam.pipeline import run_fusion_sequence_pipelined
+
+    k = CameraIntrinsics.make(100.0, 100.0, 31.5, 23.5)
+    depths, _ = synthetic_sequence(1, 48, 64, k, seed=0)
+    fmap, m = run_fusion_sequence_pipelined(depths, k)
+    assert m.frames == 1 and len(m.poses) == 1
+    assert m.num_map_points > 0
