@@ -107,6 +107,7 @@ def find_nn_correspondences(
     inlier_fraction: float = 1.0,
     one_to_one: bool = False,
     metric: str = "l2",
+    prune_plan=None,
 ) -> Correspondences:
     """Unidirectional NN matching with the reference's filter stack.
 
@@ -116,16 +117,23 @@ def find_nn_correspondences(
 
     With a distance gate on a large 3D L2 problem (TPU), the search runs the
     Morton-sorted tile-pruned kernel — the gate doubles as the kd-tree-style
-    box-prune bound, skipping far tile pairs entirely.
+    box-prune bound, skipping far tile pairs entirely. Callers that search
+    repeatedly against a fixed ``dst`` (the ICP loop) pass ``prune_plan``
+    (:func:`cilantro_tpu.neighbors.pallas_nn.make_nn1_prune_plan`) to hoist
+    the Morton sorts out of the loop.
     """
-    use_pruned = (
+    use_pruned = prune_plan is not None or (
         max_distance is not None
         and metric == "l2"
         and query_features.shape[1] == 3
         and query_features.shape[0] * dst_features.shape[0] >= (1 << 26)
         and jax.default_backend() == "tpu"
     )
-    if use_pruned:
+    if prune_plan is not None:
+        from ..neighbors.pallas_nn import nn1_pruned_planned
+
+        dist, idx = nn1_pruned_planned(query_features, prune_plan)
+    elif use_pruned:
         from ..neighbors.pallas_nn import nn1_pruned
 
         dist, idx = nn1_pruned(

@@ -22,7 +22,7 @@ hot path (``correspondence_search_kd_tree_utilities.hpp:26-43``).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,35 +34,44 @@ INVALID_DIST = 3.0e38  # plain float: used as a literal inside Pallas kernels
 _DPAD = 8  # pad point dim to one f32 sublane tile
 
 
-def _augment(queries, keys, key_valid, tile_q, tile_m):
-    """Augmented coordinates so ONE matmul yields squared distances:
-    ``q̂ = [-2q, ‖q‖², 1]``, ``k̂ = [k, 1, ‖k‖²(+INVALID if masked)]`` →
-    ``q̂·k̂ = ‖q‖² + ‖k‖² − 2q·k``. Kills all VPU distance assembly; the
-    kernel inner loop is one MXU contraction + a min/argmin."""
+def _pad_aug_rows(x, mult):
+    n = x.shape[0]
+    rows = ((n + mult - 1) // mult) * mult
+    return jnp.zeros((rows, _DPAD), jnp.float32).at[:n, : x.shape[1]].set(x)
 
-    def pad_rows(x, mult):
-        n = x.shape[0]
-        rows = ((n + mult - 1) // mult) * mult
-        return jnp.zeros((rows, _DPAD), jnp.float32).at[:n, : x.shape[1]].set(x)
 
-    d = queries.shape[1]
+def _augment_queries(queries, tile_q):
+    """``q̂ = [-2q, ‖q‖², 1]`` padded to a ``tile_q`` multiple."""
     q = queries.astype(jnp.float32)
-    k = keys.astype(jnp.float32)
     qq = jnp.sum(q * q, axis=1, keepdims=True)
+    qhat = jnp.concatenate([-2.0 * q, qq, jnp.ones_like(qq)], axis=1)
+    return _pad_aug_rows(qhat, tile_q)
+
+
+def _augment_keys(keys, key_valid, tile_m):
+    """``k̂ = [k, 1, ‖k‖²(+INVALID if masked)]`` padded to a ``tile_m``
+    multiple; padding keys get +INVALID in the ‖k‖² slot so they never win."""
+    d = keys.shape[1]
+    k = keys.astype(jnp.float32)
     kk = jnp.sum(k * k, axis=1, keepdims=True)
     if key_valid is not None:
         kk = jnp.where(key_valid[:, None], kk, INVALID_DIST)
-    ones_q = jnp.ones_like(qq)
-    ones_k = jnp.ones_like(kk)
-    qhat = jnp.concatenate([-2.0 * q, qq, ones_q], axis=1)  # (Q, d+2)
-    khat = jnp.concatenate([k, ones_k, kk], axis=1)  # (M, d+2)
-    qp = pad_rows(qhat, tile_q)
-    # Padding *keys* must never win: give them +INVALID in the kk slot.
+    khat = jnp.concatenate([k, jnp.ones_like(kk), kk], axis=1)
     mn = keys.shape[0]
-    kp = pad_rows(khat, tile_m)
+    kp = _pad_aug_rows(khat, tile_m)
     if kp.shape[0] > mn:
         kp = kp.at[mn:, d + 1].set(INVALID_DIST)
-    return qp, kp
+    return kp
+
+
+def _augment(queries, keys, key_valid, tile_q, tile_m):
+    """Augmented coordinates so ONE matmul yields squared distances:
+    ``q̂·k̂ = ‖q‖² + ‖k‖² − 2q·k``. Kills all VPU distance assembly; the
+    kernel inner loop is one MXU contraction + a min/argmin."""
+    return (
+        _augment_queries(queries, tile_q),
+        _augment_keys(keys, key_valid, tile_m),
+    )
 
 
 def _chunk_dist(qhat, khat):
@@ -245,6 +254,132 @@ def _nn1_pallas_masked(
     return dist, idx
 
 
+def _nn1_kernel_compact(
+    qt_ref, kt_ref, fl_ref, q_ref, k_ref, out_d_ref, out_i_ref, bd, bi,
+    *, tm: int
+):
+    """nn1 kernel over a COMPACTED list of surviving (query tile, key chunk)
+    pairs. The masked kernel (:func:`_nn1_kernel_masked`) still *visits*
+    every pruned grid step — paying the block DMA and grid sequencing for
+    work it then skips — so at high prune rates the pass is step-overhead
+    bound, not compute bound. Here the 1-D grid runs only over surviving
+    pairs (scalar-prefetch tables ``qt/kt`` drive the block index maps), so
+    a pruned pair costs nothing at all.
+
+    ``fl`` flags per step: bit0 = first step of this query tile (reset the
+    running best), bit1 = live (pad steps past the survivor count fold
+    nothing), bit2 = last step of this query tile (write the output row).
+    Steps are qtile-major (row-major flatten of the mask), so each output
+    row is written once, after all its chunks folded."""
+    s = pl.program_id(0)
+    f = fl_ref[s]
+
+    @pl.when((f & 1) != 0)
+    def _():
+        bd[:] = jnp.full_like(bd[:], INVALID_DIST)
+        bi[:] = jnp.zeros_like(bi[:])
+
+    @pl.when((f & 2) != 0)
+    def _():
+        dist = _chunk_dist(q_ref[:], k_ref[:])
+        chunk_best = jnp.min(dist, axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) + kt_ref[s] * tm
+        chunk_arg = jnp.min(
+            jnp.where(
+                dist <= chunk_best[:, None], col, jnp.int32(2**31 - 1)
+            ),
+            axis=1,
+        )
+        better = chunk_best < bd[:]
+        bd[:] = jnp.where(better, chunk_best, bd[:])
+        bi[:] = jnp.where(better, chunk_arg, bi[:])
+
+    @pl.when((f & 4) != 0)
+    def _():
+        out_d_ref[qt_ref[s], :] = bd[:]
+        out_i_ref[qt_ref[s], :] = bi[:]
+
+
+@partial(jax.jit, static_argnames=("budget", "tile_q", "tile_m", "interpret"))
+def _nn1_pallas_compact(
+    qp: jax.Array,  # (Qp, 8) augmented, tile_q-padded
+    kp: jax.Array,  # (Mp, 8) augmented, tile_m-padded
+    tile_mask: jax.Array,  # (n_qt, n_mt) bool — every row MUST have ≥1 True
+    *,
+    budget: int,
+    tile_q: int = 1024,
+    tile_m: int = 2048,
+    interpret: bool = False,
+):
+    """Compacted-pair nn1. Falls back to the visit-everything masked kernel
+    (one ``lax.cond``) when more than ``budget`` pairs survive, so results
+    are exact at any prune rate."""
+    n_qt = qp.shape[0] // tile_q
+    n_mt = kp.shape[0] // tile_m
+
+    flat = tile_mask.reshape(-1)
+    count = jnp.sum(flat.astype(jnp.int32))
+    # Row-major flatten → steps are qtile-major (consecutive per query tile).
+    ids = jnp.nonzero(flat, size=budget, fill_value=0)[0].astype(jnp.int32)
+    live = jnp.arange(budget, dtype=jnp.int32) < count
+    # Pad steps repeat the LAST real pair: the query-tile id stays constant,
+    # so the only remaining output write (forced at the final step) re-writes
+    # that tile's row with the unchanged running best.
+    ids = jnp.where(live, ids, ids[jnp.maximum(count - 1, 0)])
+    qt = ids // n_mt
+    kt = ids % n_mt
+    first = jnp.concatenate([jnp.array([True]), qt[1:] != qt[:-1]])
+    last = jnp.concatenate([qt[:-1] != qt[1:], jnp.array([True])])
+    flags = (
+        first.astype(jnp.int32)
+        + 2 * live.astype(jnp.int32)
+        + 4 * last.astype(jnp.int32)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(budget,),
+        in_specs=[
+            pl.BlockSpec((tile_q, _DPAD), lambda s, qt_, kt_, fl_: (qt_[s], 0)),
+            pl.BlockSpec((tile_m, _DPAD), lambda s, qt_, kt_, fl_: (kt_[s], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_q,), jnp.float32),
+            pltpu.VMEM((tile_q,), jnp.int32),
+        ],
+    )
+
+    def compact_path(args):
+        qt_, kt_, fl_ = args
+        return pl.pallas_call(
+            partial(_nn1_kernel_compact, tm=tile_m),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_qt, tile_q), jnp.float32),
+                jax.ShapeDtypeStruct((n_qt, tile_q), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(qt_, kt_, fl_, qp, kp)
+
+    def masked_path(args):
+        del args
+        return _nn1_pallas_masked(
+            qp, kp, tile_mask.astype(jnp.int32),
+            tile_q=tile_q, tile_m=tile_m, interpret=interpret,
+        )
+
+    return jax.lax.cond(
+        count <= budget, compact_path, masked_path, (qt, kt, flags)
+    )
+
+
 @partial(
     jax.jit, static_argnames=("tile_q", "tile_m", "interpret")
 )
@@ -269,64 +404,157 @@ def nn1_pruned(
     max-correspondence-distance gate, which is exactly the prune bound
     (``correspondence_search_kd_tree.hpp:47-51``).
     """
-    from .gridhash import _aabb_dist2, morton_code
+    qn = queries.shape[0]
+    qv = jnp.ones(qn, bool) if query_valid is None else query_valid
+    plan = make_nn1_prune_plan(
+        keys,
+        radius,
+        queries,
+        key_valid=key_valid,
+        query_valid=qv,
+        tile_q=tile_q,
+        tile_m=tile_m,
+    )
+    return nn1_pruned_planned(queries, plan, interpret=interpret)
 
-    qn, d = queries.shape
+
+class NN1PrunePlan(NamedTuple):
+    """Loop-invariant state for repeated radius-bounded nn1 passes against a
+    FIXED key cloud and a query cloud that only moves a little per pass (the
+    ICP situation: the dst cloud never moves; src moves ≤ the correspondence
+    gate per iteration). Carries the Morton sorts — the only O(N log N)
+    work — so each pass pays just O(N) AABB/mask recomputation, which stays
+    EXACT for the actual (transformed) query positions; query motion only
+    degrades tile compactness, never correctness."""
+
+    radius: jax.Array  # scalar f32
+    kperm: jax.Array  # (M,) original key index of sorted position
+    kp: jax.Array  # (Mp, 8) augmented sorted keys
+    kmin: jax.Array  # (n_mt, D) key-chunk AABBs
+    kmax: jax.Array
+    k_occ: jax.Array  # (n_mt,) chunk has ≥1 valid key
+    qperm: jax.Array  # (Q,) fixed query sort (from the hint positions)
+    qinv: jax.Array  # (Q,) inverse of qperm
+    qvs: jax.Array  # (Q,) query validity, sorted by qperm
+    tile_q: int  # static
+    tile_m: int  # static
+
+
+def _tile_aabbs(pts, val, tile):
+    big = jnp.float32(3e38)
+    d = pts.shape[1]
+    pad = (-pts.shape[0]) % tile
+    if pad:
+        pts = jnp.pad(pts, ((0, pad), (0, 0)))
+        val = jnp.pad(val, (0, pad))
+    nt = pts.shape[0] // tile
+    blocks = pts.reshape(nt, tile, d)
+    vb = val.reshape(nt, tile)
+    amin = jnp.min(jnp.where(vb[..., None], blocks, big), axis=1)
+    amax = jnp.max(jnp.where(vb[..., None], blocks, -big), axis=1)
+    return amin, amax, jnp.any(vb, axis=1)
+
+
+def make_nn1_prune_plan(
+    keys: jax.Array,
+    radius,
+    query_hint: jax.Array,
+    *,
+    key_valid: Optional[jax.Array] = None,
+    query_valid: Optional[jax.Array] = None,
+    tile_q: int = 1024,
+    tile_m: int = 2048,
+) -> NN1PrunePlan:
+    """Build the loop-invariant half of :func:`nn1_pruned`: Morton-sort both
+    clouds (queries by their ``query_hint`` positions), pre-augment the keys,
+    and take the key-chunk AABBs."""
+    from .gridhash import morton_code
+
+    qn = query_hint.shape[0]
     mn = keys.shape[0]
     qv = jnp.ones(qn, bool) if query_valid is None else query_valid
     kv = jnp.ones(mn, bool) if key_valid is None else key_valid
+    radius = jnp.asarray(radius, jnp.float32)
     big = jnp.float32(3e38)
     origin = jnp.minimum(
-        jnp.min(jnp.where(qv[:, None], queries, big), axis=0),
+        jnp.min(jnp.where(qv[:, None], query_hint, big), axis=0),
         jnp.min(jnp.where(kv[:, None], keys, big), axis=0),
     )
     qcode = jnp.where(
-        qv, morton_code(queries, origin, radius), jnp.int32(2**31 - 1)
+        qv, morton_code(query_hint, origin, radius), jnp.int32(2**31 - 1)
     )
     kcode = jnp.where(
         kv, morton_code(keys, origin, radius), jnp.int32(2**31 - 1)
     )
     qperm = jnp.argsort(qcode).astype(jnp.int32)
     kperm = jnp.argsort(kcode).astype(jnp.int32)
-    qs = queries[qperm]
     ks = keys[kperm]
-    qvs = qv[qperm]
     kvs = kv[kperm]
+    kmin, kmax, k_occ = _tile_aabbs(ks, kvs, tile_m)
+    kp = _augment_keys(ks, kvs, tile_m)
+    qinv = (
+        jnp.zeros((qn,), jnp.int32)
+        .at[qperm]
+        .set(jnp.arange(qn, dtype=jnp.int32), unique_indices=True)
+    )
+    return NN1PrunePlan(
+        radius=radius,
+        kperm=kperm,
+        kp=kp,
+        kmin=kmin,
+        kmax=kmax,
+        k_occ=k_occ,
+        qperm=qperm,
+        qinv=qinv,
+        qvs=qv[qperm],
+        tile_q=tile_q,
+        tile_m=tile_m,
+    )
 
-    def tile_aabbs(pts, val, tile):
-        pad = (-pts.shape[0]) % tile
-        if pad:
-            pts = jnp.pad(pts, ((0, pad), (0, 0)))
-            val = jnp.pad(val, (0, pad))
-        nt = pts.shape[0] // tile
-        blocks = pts.reshape(nt, tile, d)
-        vb = val.reshape(nt, tile)
-        amin = jnp.min(jnp.where(vb[..., None], blocks, big), axis=1)
-        amax = jnp.max(jnp.where(vb[..., None], blocks, -big), axis=1)
-        return amin, amax, jnp.any(vb, axis=1)
 
-    qmin, qmax, q_occ = tile_aabbs(qs, qvs, tile_q)
-    kmin, kmax, k_occ = tile_aabbs(ks, kvs, tile_m)
-    r2 = jnp.float32(radius) * jnp.float32(radius)
-    within = (
-        (_aabb_dist2(qmin, qmax, kmin, kmax) <= r2)
-        & q_occ[:, None]
-        & k_occ[None, :]
-    ).astype(jnp.int32)
+def nn1_pruned_planned(
+    queries: jax.Array,
+    plan: NN1PrunePlan,
+    *,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-pass half of :func:`nn1_pruned`: exact for the given ``queries``
+    (current positions), reusing the plan's sorts and key-side state."""
+    from .gridhash import _aabb_dist2
 
-    qp, kp = _augment(qs, ks, kvs, tile_q, tile_m)
-    dist, idx = _nn1_pallas_masked(
-        qp, kp, within, tile_q=tile_q, tile_m=tile_m, interpret=interpret
+    qn = queries.shape[0]
+    mn = plan.kperm.shape[0]
+    tile_q, tile_m = plan.tile_q, plan.tile_m
+    qs = queries[plan.qperm]
+    qvs = plan.qvs
+    qmin, qmax, q_occ = _tile_aabbs(qs, qvs, tile_q)
+    r2 = plan.radius * plan.radius
+    aabb_d2 = _aabb_dist2(qmin, qmax, plan.kmin, plan.kmax)
+    within = (aabb_d2 <= r2) & q_occ[:, None] & plan.k_occ[None, :]
+    # Every query tile keeps at least its nearest occupied key chunk, so
+    # every output row is visited (results there gate to INVALID below if
+    # actually beyond the radius).
+    n_qt = within.shape[0]
+    nearest = jnp.argmin(
+        jnp.where(plan.k_occ[None, :], aabb_d2, jnp.float32(3e38)), axis=1
+    )
+    within = within.at[jnp.arange(n_qt), nearest].set(True)
+
+    qp = _augment_queries(qs, tile_q)
+    n_mt = plan.kp.shape[0] // tile_m
+    budget = n_qt * min(max(n_mt // 4, 8), max(n_mt, 1))
+    dist, idx = _nn1_pallas_compact(
+        qp, plan.kp, within, budget=budget,
+        tile_q=tile_q, tile_m=tile_m, interpret=interpret,
     )
     dist = jnp.maximum(dist.reshape(-1)[:qn], 0.0)
     idx = idx.reshape(-1)[:qn]
     # Radius gate + invalid queries; map indices back to original key order.
     ok = (dist <= r2) & qvs
     dist = jnp.where(ok, dist, INVALID_DIST)
-    idx = jnp.where(ok, kperm[jnp.clip(idx, 0, mn - 1)], 0)
+    idx = jnp.where(ok, plan.kperm[jnp.clip(idx, 0, mn - 1)], 0)
     # Un-permute to the original query order.
-    inv = jnp.argsort(qperm).astype(jnp.int32)
-    return dist[inv], idx[inv]
+    return dist[plan.qinv], idx[plan.qinv]
 
 
 def _k_smallest(dist, payload_idx, k):

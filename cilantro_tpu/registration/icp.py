@@ -130,6 +130,32 @@ def icp(
     else:
         dst_feat = point_features(dst_points)
 
+    # The dst cloud never moves and src moves ≤ the correspondence gate per
+    # iteration, so the Morton sorts behind the tile-pruned NN kernel are
+    # loop-invariant: build the prune plan ONCE here instead of re-sorting
+    # both clouds inside every while_loop iteration (tile AABBs are still
+    # recomputed per iteration from the actual transformed positions, so
+    # pruning stays exact — motion only degrades tile compactness).
+    prune_plan = None
+    if (
+        max_corr_dist_sq is not None
+        and not use_features_normals
+        and src_points.shape[1] == 3
+        and src_points.shape[0] * dst_points.shape[0] >= (1 << 26)
+        and jax.default_backend() == "tpu"
+    ):
+        from ..neighbors.pallas_nn import make_nn1_prune_plan
+
+        prune_plan = make_nn1_prune_plan(
+            dst_feat,
+            jnp.sqrt(jnp.float32(max_corr_dist_sq)),
+            point_features(src_points, init),
+            key_valid=dst_valid,
+            query_valid=src_valid,
+            tile_q=1024,
+            tile_m=2048,
+        )
+
     def update_correspondences(tf: Transform) -> Correspondences:
         if use_features_normals:
             qf = point_normal_features(
@@ -145,6 +171,7 @@ def icp(
             max_distance=max_corr_dist_sq,
             inlier_fraction=inlier_fraction,
             one_to_one=one_to_one,
+            prune_plan=prune_plan,
         )
 
     def update_estimate(tf: Transform, corr: Correspondences) -> Transform:

@@ -118,3 +118,84 @@ def test_nn1_pruned_with_invalid_keys(rng):
     hit = d < INVALID_DIST * 0.5
     assert hit.sum() > 100
     assert (i[hit] % 2 == 1).all()  # only valid (odd) keys matched
+
+
+def test_nn1_compact_matches_masked_and_fallback(rng):
+    """Compacted-pair kernel == masked kernel; budget overflow falls back."""
+    import jax.numpy as jnp
+
+    from cilantro_tpu.neighbors.pallas_nn import (
+        _augment, _nn1_pallas_compact, _nn1_pallas_masked,
+    )
+
+    tq, tm = 128, 256
+    q = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+    k = rng.uniform(-1, 1, (700, 3)).astype(np.float32)
+    qp, kp = _augment(jnp.asarray(q), jnp.asarray(k), None, tq, tm)
+    n_qt, n_mt = qp.shape[0] // tq, kp.shape[0] // tm
+    # Random mask with every row visited at least once.
+    mask = rng.random((n_qt, n_mt)) < 0.5
+    mask[:, 0] = True
+    mask = jnp.asarray(mask)
+
+    d_m, i_m = _nn1_pallas_masked(
+        qp, kp, mask.astype(jnp.int32), tile_q=tq, tile_m=tm, interpret=True
+    )
+    for budget in (n_qt * n_mt, 2):  # roomy, and overflow → fallback
+        d_c, i_c = _nn1_pallas_compact(
+            qp, kp, mask, budget=budget, tile_q=tq, tile_m=tm, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(d_c), np.asarray(d_m))
+        np.testing.assert_array_equal(np.asarray(i_c), np.asarray(i_m))
+
+
+def test_nn1_pruned_no_neighbor_rows(rng):
+    """Query tiles with nothing in radius still return INVALID (their rows
+    are force-visited via the nearest-chunk rule, then gated)."""
+    import jax.numpy as jnp
+
+    from cilantro_tpu.neighbors.pallas_nn import nn1_pruned, INVALID_DIST
+
+    k = rng.uniform(-0.05, 0.05, (600, 3)).astype(np.float32)
+    far = rng.uniform(10.0, 10.1, (400, 3)).astype(np.float32)
+    near = k[:200] + rng.normal(0, 1e-3, (200, 3)).astype(np.float32)
+    q = np.concatenate([far, near]).astype(np.float32)
+    d, i = nn1_pruned(
+        jnp.asarray(q), jnp.asarray(k), 0.02,
+        tile_q=128, tile_m=128, interpret=True,
+    )
+    d = np.asarray(d)
+    assert (d[:400] >= INVALID_DIST * 0.5).all()
+    assert (d[400:] < 0.02 * 0.02).all()
+
+
+def test_nn1_prune_plan_reuse_under_motion(rng):
+    """A plan built from initial query positions stays EXACT after the
+    queries move (the ICP loop situation): AABBs are recomputed from actual
+    positions each call, only the sort permutation is stale."""
+    import jax.numpy as jnp
+
+    from cilantro_tpu.neighbors.pallas_nn import (
+        INVALID_DIST, make_nn1_prune_plan, nn1_pruned_planned,
+    )
+    from cilantro_tpu.neighbors.bruteforce import _nn1_xla
+
+    k = rng.uniform(-0.3, 0.3, (2000, 3)).astype(np.float32)
+    q0 = (k[::2] + rng.normal(0, 2e-3, (1000, 3))).astype(np.float32)
+    radius = 0.02
+    plan = make_nn1_prune_plan(
+        jnp.asarray(k), radius, jnp.asarray(q0), tile_q=128, tile_m=256
+    )
+    # Three "iterations", each moving the queries a fraction of the gate.
+    q = q0
+    for _ in range(3):
+        q = q + rng.normal(0, 3e-3, q.shape).astype(np.float32)
+        d_p, i_p = nn1_pruned_planned(jnp.asarray(q), plan, interpret=True)
+        d_b, i_b = map(np.asarray, _nn1_xla(jnp.asarray(q), jnp.asarray(k)))
+        d_p, i_p = np.asarray(d_p), np.asarray(i_p)
+        within = d_b <= radius * radius
+        np.testing.assert_allclose(
+            d_p[within], d_b[within], rtol=1e-5, atol=5e-7
+        )
+        assert (i_p[within] == i_b[within]).mean() > 0.95
+        assert (d_p[~within] >= INVALID_DIST * 0.5).all()
