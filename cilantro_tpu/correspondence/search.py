@@ -119,21 +119,33 @@ def find_nn_correspondences(
     Morton-sorted tile-pruned kernel — the gate doubles as the kd-tree-style
     box-prune bound, skipping far tile pairs entirely. Callers that search
     repeatedly against a fixed ``dst`` (the ICP loop) pass ``prune_plan``
-    (:func:`cilantro_tpu.neighbors.pallas_nn.make_nn1_prune_plan`) to hoist
-    the Morton sorts out of the loop.
+    (:func:`cilantro_tpu.neighbors.pallas_nn.maybe_make_nn1_prune_plan`) to
+    hoist the Morton sorts out of the loop. The plan BAKES the key cloud,
+    both validity masks, and the radius: ``dst_features`` must be the cloud
+    the plan was built from (the shapes are checked; contents cannot be),
+    and the per-call ``query_valid``/``dst_valid``/``max_distance`` still
+    apply only through the post-kernel filter stack.
     """
-    use_pruned = prune_plan is not None or (
-        max_distance is not None
-        and metric == "l2"
-        and query_features.shape[1] == 3
-        and query_features.shape[0] * dst_features.shape[0] >= (1 << 26)
-        and jax.default_backend() == "tpu"
-    )
+    from ..neighbors.pallas_nn import prune_eligible
+
     if prune_plan is not None:
         from ..neighbors.pallas_nn import nn1_pruned_planned
 
+        if prune_plan.kperm.shape[0] != dst_features.shape[0]:
+            raise ValueError(
+                f"prune_plan was built for {prune_plan.kperm.shape[0]} keys "
+                f"but dst_features has {dst_features.shape[0]} rows"
+            )
+        if prune_plan.qperm.shape[0] != query_features.shape[0]:
+            raise ValueError(
+                f"prune_plan was built for {prune_plan.qperm.shape[0]} "
+                f"queries but query_features has "
+                f"{query_features.shape[0]} rows"
+            )
         dist, idx = nn1_pruned_planned(query_features, prune_plan)
-    elif use_pruned:
+    elif prune_eligible(
+        query_features.shape, dst_features.shape, max_distance, metric
+    ):
         from ..neighbors.pallas_nn import nn1_pruned
 
         dist, idx = nn1_pruned(

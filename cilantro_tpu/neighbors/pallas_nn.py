@@ -455,6 +455,46 @@ def _tile_aabbs(pts, val, tile):
     return amin, amax, jnp.any(vb, axis=1)
 
 
+def prune_eligible(
+    q_shape, k_shape, max_distance, metric: str = "l2"
+) -> bool:
+    """ONE predicate for "should this gated NN search take the Morton-tile
+    pruned kernel": L2 metric, 3-D points, problem big enough that tile
+    pruning beats the plain fused kernel, TPU backend, and a distance gate
+    to serve as the prune bound. Shared by the organic
+    ``find_nn_correspondences`` path and the plan-hoisting ICP loops so the
+    two can never diverge."""
+    return (
+        max_distance is not None
+        and metric == "l2"
+        and q_shape[1] == 3
+        and q_shape[0] * k_shape[0] >= (1 << 26)
+        and jax.default_backend() == "tpu"
+    )
+
+
+def maybe_make_nn1_prune_plan(
+    keys: jax.Array,
+    max_corr_dist_sq,
+    query_hint: jax.Array,
+    *,
+    key_valid: Optional[jax.Array] = None,
+    query_valid: Optional[jax.Array] = None,
+) -> Optional["NN1PrunePlan"]:
+    """Build a prune plan iff :func:`prune_eligible` says the pruned kernel
+    would be chosen for this problem (``max_corr_dist_sq`` is the SQUARED
+    gate, as ICP carries it); returns ``None`` otherwise."""
+    if not prune_eligible(query_hint.shape, keys.shape, max_corr_dist_sq):
+        return None
+    return make_nn1_prune_plan(
+        keys,
+        jnp.sqrt(jnp.float32(max_corr_dist_sq)),
+        query_hint,
+        key_valid=key_valid,
+        query_valid=query_valid,
+    )
+
+
 def make_nn1_prune_plan(
     keys: jax.Array,
     radius,

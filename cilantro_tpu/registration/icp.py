@@ -137,23 +137,15 @@ def icp(
     # recomputed per iteration from the actual transformed positions, so
     # pruning stays exact — motion only degrades tile compactness).
     prune_plan = None
-    if (
-        max_corr_dist_sq is not None
-        and not use_features_normals
-        and src_points.shape[1] == 3
-        and src_points.shape[0] * dst_points.shape[0] >= (1 << 26)
-        and jax.default_backend() == "tpu"
-    ):
-        from ..neighbors.pallas_nn import make_nn1_prune_plan
+    if not use_features_normals:
+        from ..neighbors.pallas_nn import maybe_make_nn1_prune_plan
 
-        prune_plan = make_nn1_prune_plan(
+        prune_plan = maybe_make_nn1_prune_plan(
             dst_feat,
-            jnp.sqrt(jnp.float32(max_corr_dist_sq)),
+            max_corr_dist_sq,
             point_features(src_points, init),
             key_valid=dst_valid,
             query_valid=src_valid,
-            tile_q=1024,
-            tile_m=2048,
         )
 
     def update_correspondences(tf: Transform) -> Correspondences:

@@ -770,21 +770,15 @@ def icp_warp_field(
     # Hoist the pruned-NN Morton sorts out of the outer loop (same reasoning
     # as rigid ICP: dst is fixed, the warp moves points gradually; per-
     # iteration AABBs keep the prune exact).
-    prune_plan = None
-    if (
-        d == 3
-        and n * dst_points.shape[0] >= (1 << 26)
-        and jax.default_backend() == "tpu"
-    ):
-        from ..neighbors.pallas_nn import make_nn1_prune_plan
+    from ..neighbors.pallas_nn import maybe_make_nn1_prune_plan
 
-        prune_plan = make_nn1_prune_plan(
-            dst_points,
-            jnp.sqrt(jnp.float32(max_corr_dist_sq)),
-            src_points,
-            key_valid=dst_valid,
-            query_valid=src_valid,
-        )
+    prune_plan = maybe_make_nn1_prune_plan(
+        dst_points,
+        max_corr_dist_sq,
+        src_points,
+        key_valid=dst_valid,
+        query_valid=src_valid,
+    )
 
     def body(carry):
         node_tf, _, it = carry

@@ -130,6 +130,13 @@ def run_fusion_sequence(
             and checkpoint_every is not None
             and (fi - start + 1) % checkpoint_every == 0
         ):
+            # Drain the async-dispatched frame work BEFORE starting the
+            # checkpoint timer: save_checkpoint's host fetch would otherwise
+            # block on queued device compute and charge it to t_ckpt,
+            # under-reporting seconds_per_frame. A scalar fetch (not
+            # block_until_ready, which returns early on remote-tunnel
+            # backends) is the reliable drain.
+            np.asarray(fmap.data[0, 0])
             tc = time.perf_counter()
             save_checkpoint(
                 checkpoint_path,

@@ -149,8 +149,9 @@ def detect_loop_closures(
     existing = set(zip(graph.edge_i, graph.edge_j))
     for j in range(k):
         # i ranges over keyframes separated from j by AT LEAST
-        # min_separation (j - i >= min_separation), inclusive.
-        for i in range(j - min_separation + 1):
+        # min_separation (j - i >= min_separation), inclusive; i < j always,
+        # so min_separation=0 cannot register a keyframe against itself.
+        for i in range(min(j, j - min_separation + 1)):
             if (i, j) in existing:
                 continue
             a, b = graph.keyframes[i], graph.keyframes[j]

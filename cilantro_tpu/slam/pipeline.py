@@ -71,13 +71,13 @@ def run_fusion_sequence_pipelined(
     (same per-frame program on the same inputs, one pipeline-fill step of
     latency); returns the same ``(FusionMap, FusionMetrics)``.
     """
-    if mesh is None:
-        mesh = make_pipeline_mesh()
     h, w = depths[0].shape
     if map_capacity is None:
         map_capacity = 4 * h * w
     n_fuse = len(depths) - 1
-    if n_fuse == 0:  # single frame: the seeded map is the result
+    # Single frame: the seeded map is the result — return before building
+    # the mesh, so one-frame inputs work even on single-device hosts.
+    if n_fuse == 0:
         pts, nrm, valid = depth_to_points_normals(
             jnp.asarray(depths[0]), intrinsics
         )
@@ -89,6 +89,8 @@ def run_fusion_sequence_pipelined(
             icp_iterations=[0],
             num_map_points=int(fmap0.num_points()),
         )
+    if mesh is None:
+        mesh = make_pipeline_mesh()
 
     # Frames 1..F-1 + one zero drain frame; frame 0 seeds the map.
     depth_stack = jnp.asarray(

@@ -95,3 +95,22 @@ def test_loop_closure_min_separation_inclusive(rng):
         icp_max_corr_dist_sq=0.25,
     )
     assert (0, 3) in set(zip(graph.edge_i, graph.edge_j))
+
+
+def test_loop_closure_never_self_pairs(rng):
+    # min_separation=0 must not ICP a keyframe against itself.
+    from cilantro_tpu.slam import KeyframeGraph
+
+    scene = rng.uniform(-1, 1, (3000, 3)).astype(np.float32)
+    scene[:, 2] += 3.0
+    graph = KeyframeGraph.empty()
+    for i in range(3):
+        spawn_keyframe(
+            graph, i, np.eye(4, dtype=np.float32), scene, None,
+            subsample=1500,
+        )
+    detect_loop_closures(
+        graph, min_separation=0, max_translation=0.5,
+        icp_max_corr_dist_sq=0.25,
+    )
+    assert all(i < j for i, j in zip(graph.edge_i, graph.edge_j))
