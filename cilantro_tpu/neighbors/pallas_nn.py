@@ -638,6 +638,356 @@ def _knn_kernel(q_ref, k_ref, out_d_ref, out_i_ref, bd, bi, *, tm: int, k: int):
         out_i_ref[:] = bi[:]
 
 
+def _knn_kernel_compact(
+    qt_ref, kt_ref, fl_ref, q_ref, k_ref, out_d_ref, out_i_ref, bd, bi,
+    *, tm: int, k: int
+):
+    """kNN analogue of :func:`_nn1_kernel_compact`: a 1-D grid over the
+    surviving (query tile, key chunk) pairs, k-slot running best in VMEM
+    scratch, flag-driven reset/fold/write."""
+    s = pl.program_id(0)
+    f = fl_ref[s]
+
+    @pl.when((f & 1) != 0)
+    def _():
+        bd[:] = jnp.full_like(bd[:], INVALID_DIST)
+        bi[:] = jnp.zeros_like(bi[:])
+
+    @pl.when((f & 2) != 0)
+    def _():
+        dist = _chunk_dist(q_ref[:], k_ref[:])
+        tq = dist.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (tq, tm), 1) + kt_ref[s] * tm
+        chunk_d, chunk_i = _k_smallest(dist, col, k)
+        cand_d = jnp.concatenate([bd[:], chunk_d], axis=1)  # (TQ, 2k)
+        cand_i = jnp.concatenate([bi[:], chunk_i], axis=1)
+        bd[:], bi[:] = _k_smallest(cand_d, cand_i, k)
+
+    @pl.when((f & 4) != 0)
+    def _():
+        out_d_ref[qt_ref[s]] = bd[:]
+        out_i_ref[qt_ref[s]] = bi[:]
+
+
+@partial(
+    jax.jit, static_argnames=("k", "budget", "tile_q", "tile_m", "interpret")
+)
+def _knn_pallas_compact(
+    qp: jax.Array,  # (Qp, 8) augmented, tile_q-padded
+    kp: jax.Array,  # (Mp, 8) augmented, tile_m-padded
+    tile_mask: jax.Array,  # (n_qt, n_mt) bool — every row MUST have ≥1 True
+    *,
+    k: int,
+    budget: int,
+    tile_q: int,
+    tile_m: int,
+    interpret: bool = False,
+):
+    """Compacted-pair kNN; falls back to the full-grid kernel when more than
+    ``budget`` pairs survive. Returns ``(dist (Qp, k), idx (Qp, k))``."""
+    n_qt = qp.shape[0] // tile_q
+    n_mt = kp.shape[0] // tile_m
+
+    flat = tile_mask.reshape(-1)
+    count = jnp.sum(flat.astype(jnp.int32))
+    ids = jnp.nonzero(flat, size=budget, fill_value=0)[0].astype(jnp.int32)
+    live = jnp.arange(budget, dtype=jnp.int32) < count
+    ids = jnp.where(live, ids, ids[jnp.maximum(count - 1, 0)])
+    qt = ids // n_mt
+    kt = ids % n_mt
+    first = jnp.concatenate([jnp.array([True]), qt[1:] != qt[:-1]])
+    last = jnp.concatenate([qt[:-1] != qt[1:], jnp.array([True])])
+    flags = (
+        first.astype(jnp.int32)
+        + 2 * live.astype(jnp.int32)
+        + 4 * last.astype(jnp.int32)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(budget,),
+        in_specs=[
+            pl.BlockSpec((tile_q, _DPAD), lambda s, qt_, kt_, fl_: (qt_[s], 0)),
+            pl.BlockSpec((tile_m, _DPAD), lambda s, qt_, kt_, fl_: (kt_[s], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_q, k), jnp.float32),
+            pltpu.VMEM((tile_q, k), jnp.int32),
+        ],
+    )
+
+    def compact_path(args):
+        qt_, kt_, fl_ = args
+        d, i = pl.pallas_call(
+            partial(_knn_kernel_compact, tm=tile_m, k=k),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_qt, tile_q, k), jnp.float32),
+                jax.ShapeDtypeStruct((n_qt, tile_q, k), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(qt_, kt_, fl_, qp, kp)
+        return d.reshape(-1, k), i.reshape(-1, k)
+
+    def full_path(args):
+        del args
+        return _knn_pallas_full(
+            qp, kp, k=k, tile_q=tile_q, tile_m=tile_m, interpret=interpret
+        )
+
+    return jax.lax.cond(
+        count <= budget, compact_path, full_path, (qt, kt, flags)
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("k", "tile_q", "tile_m", "interpret")
+)
+def _knn_pallas_full(qp, kp, *, k, tile_q, tile_m, interpret=False):
+    """Full-grid kNN over pre-augmented tiles (the `knn_pallas` inner call,
+    reusable as the compact path's overflow fallback)."""
+    n_qt = qp.shape[0] // tile_q
+    n_mt = kp.shape[0] // tile_m
+    dist, idx = pl.pallas_call(
+        partial(_knn_kernel, tm=tile_m, k=k),
+        grid=(n_qt, n_mt),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_q, _DPAD), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_m, _DPAD), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (tile_q, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_q, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp.shape[0], k), jnp.float32),
+            jax.ShapeDtypeStruct((qp.shape[0], k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_q, k), jnp.float32),
+            pltpu.VMEM((tile_q, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(qp, kp)
+    return dist, idx
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "tile_q", "tile_m", "exclude_self", "max_rounds", "interpret"
+    ),
+)
+def knn_pruned(
+    queries: jax.Array,
+    keys: jax.Array,
+    k: int,
+    *,
+    query_valid: Optional[jax.Array] = None,
+    key_valid: Optional[jax.Array] = None,
+    init_radius: Optional[float] = None,
+    tile_q: int = 512,
+    tile_m: int = 1024,
+    exclude_self: bool = False,
+    max_rounds: int = 6,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """EXACT kNN via Morton-tile pruning with radius doubling.
+
+    The kd-tree answers kNN by descending to a leaf and backtracking until
+    the k-th best bounds the remaining boxes; the MXU-shaped equivalent:
+    run the radius-bounded compact-pair kernel at a density-derived guess
+    radius, keep a query when its k-th distance ≤ radius (every key inside
+    the radius was examined, so nothing closer exists outside), double the
+    radius for the unresolved tiles, repeat. A tile whose surviving-pair
+    row covers every occupied key chunk is exact regardless of the k-th
+    distance (handles clouds with < k valid keys). Worst case (everything
+    unresolved, budget overflow) degrades to the full-grid kernel — the
+    cost :func:`knn_pallas` pays every time. Same contract as
+    :func:`knn_pallas`.
+    """
+    from .gridhash import _aabb_dist2, morton_code
+
+    if exclude_self:
+        dist, idx = knn_pruned(
+            queries, keys, k + 1,
+            query_valid=query_valid, key_valid=key_valid,
+            init_radius=init_radius, tile_q=tile_q, tile_m=tile_m,
+            max_rounds=max_rounds, interpret=interpret,
+        )
+        qn = queries.shape[0]
+        rows = jnp.arange(qn, dtype=jnp.int32)
+        is_self = idx == rows[:, None]
+        any_self = jnp.any(is_self, axis=1)
+        first_self = jnp.argmax(is_self, axis=1)
+        drop = jnp.where(any_self, first_self, k)
+        keep = jnp.arange(k + 1)[None, :] != drop[:, None]
+        sel = jnp.argsort(~keep, axis=1, stable=True)[:, :k]
+        return (
+            jnp.take_along_axis(dist, sel, axis=1),
+            jnp.take_along_axis(idx, sel, axis=1),
+        )
+
+    qn = queries.shape[0]
+    mn = keys.shape[0]
+    k_eff = min(k, mn)
+    qv = jnp.ones(qn, bool) if query_valid is None else query_valid
+    kv = jnp.ones(mn, bool) if key_valid is None else key_valid
+    big = jnp.float32(3e38)
+
+    kext_min = jnp.min(jnp.where(kv[:, None], keys, big), axis=0)
+    kext_max = jnp.max(jnp.where(kv[:, None], keys, -big), axis=0)
+    diag = jnp.linalg.norm(kext_max - kext_min)
+    if init_radius is None:
+        # Surface-density guess: spacing ~ diag·sqrt(1/M) on a 2-manifold;
+        # the doubling loop absorbs a bad guess either way.
+        r0 = jnp.maximum(
+            diag * jnp.sqrt(jnp.float32(max(k_eff, 1)) / jnp.float32(mn)),
+            jnp.float32(1e-6),
+        )
+    else:
+        r0 = jnp.float32(init_radius)
+
+    origin = jnp.minimum(
+        jnp.min(jnp.where(qv[:, None], queries, big), axis=0), kext_min
+    )
+    qcode = jnp.where(
+        qv, morton_code(queries, origin, r0), jnp.int32(2**31 - 1)
+    )
+    kcode = jnp.where(
+        kv, morton_code(keys, origin, r0), jnp.int32(2**31 - 1)
+    )
+    qperm = jnp.argsort(qcode).astype(jnp.int32)
+    kperm = jnp.argsort(kcode).astype(jnp.int32)
+    qs = queries[qperm]
+    ks = keys[kperm]
+    qvs = qv[qperm]
+    kvs = kv[kperm]
+
+    qmin, qmax, q_occ = _tile_aabbs(qs, qvs, tile_q)
+    kmin, kmax, k_occ = _tile_aabbs(ks, kvs, tile_m)
+    aabb_d2 = _aabb_dist2(qmin, qmax, kmin, kmax)
+    qp = _augment_queries(qs, tile_q)
+    kp = _augment_keys(ks, kvs, tile_m)
+    n_qt = qp.shape[0] // tile_q
+    n_mt = kp.shape[0] // tile_m
+    qn_pad = qp.shape[0]
+    budget = n_qt * min(max(n_mt // 4, 8), max(n_mt, 1))
+    nearest = jnp.argmin(
+        jnp.where(k_occ[None, :], aabb_d2, big), axis=1
+    )
+
+    qvs_pad = jnp.zeros((qn_pad,), bool).at[:qn].set(qvs)
+
+    def body(carry):
+        radius, dist, idx, resolved, it = carry
+        r2 = radius * radius
+        tile_unres = jnp.any(
+            ~resolved.reshape(n_qt, tile_q), axis=1
+        ) & q_occ
+        mask = (
+            (aabb_d2 <= r2)
+            & tile_unres[:, None]
+            & k_occ[None, :]
+        )
+        mask = mask.at[jnp.arange(n_qt), nearest].set(
+            mask.at[jnp.arange(n_qt), nearest].get() | tile_unres
+        )
+        d_new, i_new = _knn_pallas_compact(
+            qp, kp, mask, k=k_eff, budget=budget,
+            tile_q=tile_q, tile_m=tile_m, interpret=interpret,
+        )
+        kth = d_new[:, k_eff - 1]
+        # Tiles whose surviving row covered EVERY occupied chunk are exact
+        # regardless of the k-th distance (e.g. < k valid keys exist).
+        covered_tile = jnp.all(mask | ~k_occ[None, :], axis=1) & tile_unres
+        covered = jnp.repeat(covered_tile, tile_q, total_repeat_length=qn_pad)
+        visited = jnp.repeat(
+            tile_unres, tile_q, total_repeat_length=qn_pad
+        )
+        newly = ~resolved & visited & ((kth <= r2) | covered)
+        dist = jnp.where(newly[:, None], d_new, dist)
+        idx = jnp.where(newly[:, None], i_new, idx)
+        return radius * 2.0, dist, idx, resolved | newly, it + 1
+
+    def cond(carry):
+        _, _, _, resolved, it = carry
+        return (~jnp.all(resolved)) & (it < max_rounds)
+
+    init = (
+        r0,
+        jnp.full((qn_pad, k_eff), INVALID_DIST, jnp.float32),
+        jnp.zeros((qn_pad, k_eff), jnp.int32),
+        ~qvs_pad,  # invalid + padding rows are trivially resolved
+        jnp.array(0, jnp.int32),
+    )
+    radius, dist, idx, resolved, _ = jax.lax.while_loop(cond, body, init)
+
+    # Safety net: anything still unresolved after max_rounds gets the full
+    # exact pass (rare — requires max_rounds consecutive under-guesses).
+    def full_fix(args):
+        dist, idx = args
+        d_f, i_f = _knn_pallas_full(
+            qp, kp, k=k_eff, tile_q=tile_q, tile_m=tile_m,
+            interpret=interpret,
+        )
+        unres = ~resolved
+        return (
+            jnp.where(unres[:, None], d_f, dist),
+            jnp.where(unres[:, None], i_f, idx),
+        )
+
+    dist, idx = jax.lax.cond(
+        jnp.all(resolved), lambda a: a, full_fix, (dist, idx)
+    )
+
+    dist = jnp.maximum(dist[:qn], 0.0)
+    dist = jnp.where(dist >= INVALID_DIST * 0.5, INVALID_DIST, dist)
+    idx = jnp.where(
+        dist < INVALID_DIST * 0.5,
+        plan_take(kperm, idx[:qn], mn),
+        0,
+    )
+    dist = jnp.where(qvs[:, None], dist, INVALID_DIST)
+    # Un-permute to original query order.
+    qinv = (
+        jnp.zeros((qn,), jnp.int32)
+        .at[qperm]
+        .set(jnp.arange(qn, dtype=jnp.int32), unique_indices=True)
+    )
+    dist = dist[qinv]
+    idx = idx[qinv]
+    if k_eff < k:
+        dist = jnp.pad(
+            dist, ((0, 0), (0, k - k_eff)), constant_values=INVALID_DIST
+        )
+        idx = jnp.pad(idx, ((0, 0), (0, k - k_eff)))
+    return dist, idx
+
+
+def plan_take(kperm, idx, mn):
+    """Map sorted-key indices back to original key order."""
+    return kperm[jnp.clip(idx, 0, mn - 1)]
+
+
 @partial(jax.jit, static_argnames=("k", "tile_q", "tile_m", "exclude_self", "interpret"))
 def knn_pallas(
     queries: jax.Array,
@@ -684,34 +1034,9 @@ def knn_pallas(
     mn = keys.shape[0]
     k_eff = min(k, mn)
     qp, kp = _augment(queries, keys, key_valid, tile_q, tile_m)
-
-    n_qt = qp.shape[0] // tile_q
-    n_mt = kp.shape[0] // tile_m
-    grid = (n_qt, n_mt)
-    specs = dict(
-        in_specs=[
-            pl.BlockSpec((tile_q, _DPAD), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, _DPAD), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tile_q, k_eff), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, k_eff), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
+    dist, idx = _knn_pallas_full(
+        qp, kp, k=k_eff, tile_q=tile_q, tile_m=tile_m, interpret=interpret
     )
-    dist, idx = pl.pallas_call(
-        partial(_knn_kernel, tm=tile_m, k=k_eff),
-        grid=grid,
-        **specs,
-        out_shape=[
-            jax.ShapeDtypeStruct((qp.shape[0], k_eff), jnp.float32),
-            jax.ShapeDtypeStruct((qp.shape[0], k_eff), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((tile_q, k_eff), jnp.float32),
-            pltpu.VMEM((tile_q, k_eff), jnp.int32),
-        ],
-        interpret=interpret,
-    )(qp, kp)
     dist = jnp.maximum(dist[:qn], 0.0)
     dist = jnp.where(dist >= INVALID_DIST * 0.5, INVALID_DIST, dist)
     idx = idx[:qn]

@@ -199,3 +199,79 @@ def test_nn1_prune_plan_reuse_under_motion(rng):
         )
         assert (i_p[within] == i_b[within]).mean() > 0.95
         assert (d_p[~within] >= INVALID_DIST * 0.5).all()
+
+
+def test_knn_pruned_matches_brute(rng):
+    """Radius-doubling pruned kNN is exact vs the numpy answer."""
+    import jax.numpy as jnp
+
+    from cilantro_tpu.neighbors.pallas_nn import knn_pruned
+
+    # Surface-like cloud (the density heuristic's home turf)...
+    g = np.linspace(-0.2, 0.2, 45)
+    gx, gy = np.meshgrid(g, g)
+    gz = 1.5 + 0.05 * np.sin(10 * gx) * np.cos(8 * gy)
+    pts = np.column_stack([gx.ravel(), gy.ravel(), gz.ravel()]).astype(
+        np.float32
+    )
+    q = (pts[::2] + rng.normal(0, 1e-3, pts[::2].shape)).astype(np.float32)
+
+    d = ((q[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    order = np.argsort(d, axis=1)[:, :5]
+    d_ref = np.take_along_axis(d, order, axis=1)
+
+    dk, ik = knn_pruned(
+        jnp.asarray(q), jnp.asarray(pts), 5,
+        tile_q=128, tile_m=256, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(dk), d_ref, rtol=1e-4, atol=1e-5)
+    assert (np.asarray(ik) == order).mean() > 0.98  # ties may differ
+
+
+def test_knn_pruned_uniform_and_small_k(rng):
+    # ...and a volumetric cloud where the surface guess under-shoots, plus
+    # fewer valid keys than k (covered-tile exactness path).
+    import jax.numpy as jnp
+
+    from cilantro_tpu.neighbors.pallas_nn import knn_pruned, INVALID_DIST
+
+    pts = rng.uniform(-1, 1, (1500, 3)).astype(np.float32)
+    q = rng.uniform(-1, 1, (400, 3)).astype(np.float32)
+    d = ((q[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    order = np.argsort(d, axis=1)[:, :8]
+    d_ref = np.take_along_axis(d, order, axis=1)
+    dk, ik = knn_pruned(
+        jnp.asarray(q), jnp.asarray(pts), 8,
+        tile_q=128, tile_m=256, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(dk), d_ref, rtol=1e-4, atol=1e-5)
+
+    # Only 3 valid keys, k=8: real slots exact, rest INVALID.
+    kv = np.zeros(1500, bool)
+    kv[[10, 700, 1200]] = True
+    dk, ik = knn_pruned(
+        jnp.asarray(q), jnp.asarray(pts), 8, key_valid=jnp.asarray(kv),
+        tile_q=128, tile_m=256, interpret=True,
+    )
+    dk, ik = np.asarray(dk), np.asarray(ik)
+    dm = np.where(kv[None, :], d, np.inf)
+    order3 = np.argsort(dm, axis=1)[:, :3]
+    d3 = np.take_along_axis(dm, order3, axis=1)
+    np.testing.assert_allclose(dk[:, :3], d3, rtol=1e-4, atol=1e-5)
+    assert (dk[:, 3:] >= INVALID_DIST * 0.5).all()
+    assert set(np.unique(ik[:, :3])) <= {10, 700, 1200}
+
+
+def test_knn_pruned_exclude_self(rng):
+    import jax.numpy as jnp
+
+    from cilantro_tpu.neighbors.pallas_nn import knn_pruned
+
+    pts = rng.uniform(-0.5, 0.5, (600, 3)).astype(np.float32)
+    dk, ik = knn_pruned(
+        jnp.asarray(pts), jnp.asarray(pts), 4, exclude_self=True,
+        tile_q=128, tile_m=128, interpret=True,
+    )
+    rows = np.arange(600)[:, None]
+    assert not np.any(np.asarray(ik) == rows)
+    assert np.all(np.asarray(dk) > 0)
