@@ -111,7 +111,9 @@ def radius_search(
     clipped candidates); without a flag the result is exact.
 
     ``backend``: ``'auto'`` (grid for large L2 2D/3D problems, else brute),
-    ``'grid'`` (:func:`..gridhash.radius_search_grid`), or ``'brute'``.
+    ``'grid'`` (:func:`..gridhash.radius_search_grid`), ``'pruned'``
+    (:func:`..pallas_nn.radius_search_pruned` — the compacted-pair Pallas
+    kernel; TPU, L2, 3D only), or ``'brute'``.
     """
     d = queries.shape[1]
     if backend == "grid" and (metric != "l2" or d not in (2, 3)):
@@ -119,6 +121,24 @@ def radius_search(
             "backend='grid' supports the L2 metric in 2D/3D only "
             f"(got metric={metric!r}, D={d})"
         )
+    if backend == "pruned":
+        if metric != "l2" or d != 3:
+            raise ValueError(
+                "backend='pruned' supports the L2 metric in 3D only "
+                f"(got metric={metric!r}, D={d})"
+            )
+        from .pallas_nn import radius_search_pruned
+
+        dist, idx, over = radius_search_pruned(
+            queries,
+            keys,
+            radius,
+            max_results,
+            query_valid=query_valid,
+            key_valid=key_valid,
+            exclude_self=exclude_self,
+        )
+        return _finish(dist, idx, over)
     use_grid = backend == "grid" or (
         backend == "auto"
         and metric == "l2"

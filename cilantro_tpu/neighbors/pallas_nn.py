@@ -988,6 +988,129 @@ def plan_take(kperm, idx, mn):
     return kperm[jnp.clip(idx, 0, mn - 1)]
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_results", "tile_q", "tile_m", "exclude_self", "interpret"
+    ),
+)
+def radius_search_pruned(
+    queries: jax.Array,
+    keys: jax.Array,
+    radius: float,
+    max_results: int,
+    *,
+    query_valid: Optional[jax.Array] = None,
+    key_valid: Optional[jax.Array] = None,
+    tile_q: int = 512,
+    tile_m: int = 1024,
+    exclude_self: bool = False,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Radius-bounded NN through the compacted-pair kernel: ONE fixed-radius
+    pass of the kNN kernel with ``k = max_results``, then a radius gate.
+
+    Same contract as :func:`..gridhash.radius_search_grid` —
+    ``(dist (Q, R), idx (Q, R), overflowed (Q,))``, squared-L2 ascending,
+    INVALID_DIST beyond the radius — but with an exact honesty guarantee:
+    the kernel sees EVERY key within the radius (tile AABB pruning is
+    conservative and the budget overflow falls back to the full grid), so
+    ``overflowed`` is exactly "more than max_results keys lie within the
+    radius" (the capacity truncation case; there is no tile-budget
+    truncation case).
+    """
+    from .gridhash import _aabb_dist2, morton_code
+
+    if exclude_self:
+        dist, idx, over_inner = radius_search_pruned(
+            queries, keys, radius, max_results + 1,
+            query_valid=query_valid, key_valid=key_valid,
+            tile_q=tile_q, tile_m=tile_m, interpret=interpret,
+        )
+        qn = queries.shape[0]
+        rows = jnp.arange(qn, dtype=jnp.int32)
+        hit = dist < INVALID_DIST * 0.5
+        is_self = (idx == rows[:, None]) & hit
+        any_self = jnp.any(is_self, axis=1)
+        first_self = jnp.argmax(is_self, axis=1)
+        drop = jnp.where(any_self, first_self, max_results)
+        keep = jnp.arange(max_results + 1)[None, :] != drop[:, None]
+        sel = jnp.argsort(~keep, axis=1, stable=True)[:, :max_results]
+        # Exact overflow after the self drop: > max_results+1 within radius
+        # (over_inner), or exactly max_results+1 found none of which was
+        # the self hit.
+        over = over_inner | (hit[:, max_results] & ~any_self)
+        dist = jnp.take_along_axis(dist, sel, axis=1)
+        idx = jnp.take_along_axis(idx, sel, axis=1)
+        return dist, idx, over
+
+    qn = queries.shape[0]
+    mn = keys.shape[0]
+    # One probe slot beyond the cap makes the overflow flag exact: slot
+    # max_results landing within the radius proves MORE than max_results
+    # keys are inside (not merely exactly max_results).
+    k_eff = min(max_results + 1, mn)
+    qv = jnp.ones(qn, bool) if query_valid is None else query_valid
+    kv = jnp.ones(mn, bool) if key_valid is None else key_valid
+    big = jnp.float32(3e38)
+    r = jnp.float32(radius)
+    r2 = r * r
+
+    origin = jnp.minimum(
+        jnp.min(jnp.where(qv[:, None], queries, big), axis=0),
+        jnp.min(jnp.where(kv[:, None], keys, big), axis=0),
+    )
+    qcode = jnp.where(
+        qv, morton_code(queries, origin, r), jnp.int32(2**31 - 1)
+    )
+    kcode = jnp.where(
+        kv, morton_code(keys, origin, r), jnp.int32(2**31 - 1)
+    )
+    qperm = jnp.argsort(qcode).astype(jnp.int32)
+    kperm = jnp.argsort(kcode).astype(jnp.int32)
+    qs = queries[qperm]
+    ks = keys[kperm]
+    qvs = qv[qperm]
+    kvs = kv[kperm]
+
+    qmin, qmax, q_occ = _tile_aabbs(qs, qvs, tile_q)
+    kmin, kmax, k_occ = _tile_aabbs(ks, kvs, tile_m)
+    aabb_d2 = _aabb_dist2(qmin, qmax, kmin, kmax)
+    within = (aabb_d2 <= r2) & q_occ[:, None] & k_occ[None, :]
+    n_qt = within.shape[0]
+    nearest = jnp.argmin(jnp.where(k_occ[None, :], aabb_d2, big), axis=1)
+    within = within.at[jnp.arange(n_qt), nearest].set(True)
+
+    qp = _augment_queries(qs, tile_q)
+    kp = _augment_keys(ks, kvs, tile_m)
+    n_mt = kp.shape[0] // tile_m
+    budget = n_qt * min(max(n_mt // 4, 8), max(n_mt, 1))
+    dist, idx = _knn_pallas_compact(
+        qp, kp, within, k=k_eff, budget=budget,
+        tile_q=tile_q, tile_m=tile_m, interpret=interpret,
+    )
+    dist = jnp.maximum(dist[: qs.shape[0]], 0.0)
+    idx = idx[: qs.shape[0]]
+    ok = (dist <= r2) & qvs[:, None]
+    # The probe slot (index max_results) within the radius == true overflow.
+    over = ok[:, k_eff - 1] & (k_eff == max_results + 1)
+    dist = jnp.where(ok, dist, INVALID_DIST)
+    idx = jnp.where(ok, plan_take(kperm, idx, mn), 0)
+    qinv = (
+        jnp.zeros((qn,), jnp.int32)
+        .at[qperm]
+        .set(jnp.arange(qn, dtype=jnp.int32), unique_indices=True)
+    )
+    dist = dist[qinv][:, :max_results]
+    idx = idx[qinv][:, :max_results]
+    over = over[qinv]
+    if dist.shape[1] < max_results:
+        pad = max_results - dist.shape[1]
+        dist = jnp.pad(dist, ((0, 0), (0, pad)), constant_values=INVALID_DIST)
+        idx = jnp.pad(idx, ((0, 0), (0, pad)))
+    return dist, idx, over
+
+
 @partial(jax.jit, static_argnames=("k", "tile_q", "tile_m", "exclude_self", "interpret"))
 def knn_pallas(
     queries: jax.Array,

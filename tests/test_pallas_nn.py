@@ -275,3 +275,54 @@ def test_knn_pruned_exclude_self(rng):
     rows = np.arange(600)[:, None]
     assert not np.any(np.asarray(ik) == rows)
     assert np.all(np.asarray(dk) > 0)
+
+
+def test_radius_search_pruned_matches_brute(rng):
+    import jax.numpy as jnp
+
+    from cilantro_tpu.neighbors.pallas_nn import (
+        INVALID_DIST, radius_search_pruned,
+    )
+
+    pts = rng.uniform(-0.2, 0.2, (1200, 3)).astype(np.float32)
+    q = rng.uniform(-0.2, 0.2, (500, 3)).astype(np.float32)
+    radius, cap = 0.04, 8
+    d, i, over = radius_search_pruned(
+        jnp.asarray(q), jnp.asarray(pts), radius, cap,
+        tile_q=128, tile_m=128, interpret=True,
+    )
+    d, i, over = map(np.asarray, (d, i, over))
+    db = ((q[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    r2 = radius * radius
+    for qi in range(0, 500, 7):
+        true = np.sort(db[qi][db[qi] <= r2])
+        got = d[qi][d[qi] < INVALID_DIST * 0.5]
+        n_keep = min(len(true), cap)
+        np.testing.assert_allclose(
+            got, true[:n_keep], rtol=1e-4, atol=1e-6
+        )
+        assert over[qi] == (len(true) > cap), (qi, len(true), over[qi])
+
+
+def test_radius_search_pruned_exclude_self(rng):
+    import jax.numpy as jnp
+
+    from cilantro_tpu.neighbors.pallas_nn import (
+        INVALID_DIST, radius_search_pruned,
+    )
+
+    pts = rng.uniform(-0.1, 0.1, (800, 3)).astype(np.float32)
+    d, i, over = radius_search_pruned(
+        jnp.asarray(pts), jnp.asarray(pts), 0.03, 6, exclude_self=True,
+        tile_q=128, tile_m=128, interpret=True,
+    )
+    d, i = np.asarray(d), np.asarray(i)
+    hit = d < INVALID_DIST * 0.5
+    rows = np.arange(800)[:, None]
+    assert not np.any((i == rows) & hit)
+    assert np.all(d[hit] > 0)
+    # Overflow exactness under self-exclusion.
+    db = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(db, np.inf)
+    true_counts = (db <= 0.03 * 0.03).sum(1)
+    np.testing.assert_array_equal(np.asarray(over), true_counts > 6)
