@@ -197,6 +197,42 @@ def bench_rigid_icp():
         f"{g_dt*1e3:.0f} ms ({len(p1)/g_dt/1e6:.2f} M queries/s)"
     )
 
+    # Same query through the compacted-pair Pallas kernel backend.
+    from cilantro_tpu.neighbors.pallas_nn import radius_search_pruned
+
+    @_jax.jit
+    def _pruned(q, kk):
+        d, i, over = radius_search_pruned(q, kk, 0.01, 10, exclude_self=True)
+        return d[:, 0], jnp.sum(over)
+
+    d0, _ = _pruned(p1j, p1j)
+    np.asarray(d0[:1])
+    t0 = time.perf_counter()
+    for _ in range(5):
+        d0, _ = _pruned(p1j, p1j)
+        np.asarray(d0[:1])
+    p_dt = (time.perf_counter() - t0) / 5
+    log(
+        f"radius NN (r=1 cm, k<=10) 120k self, pruned backend: "
+        f"{p_dt*1e3:.0f} ms ({len(p1)/p_dt/1e6:.2f} M queries/s)"
+    )
+
+    # Exact kNN k=10 (the dispatcher routes large L2 3-D through the
+    # radius-doubling pruned kernel).
+    from cilantro_tpu.neighbors import knn
+
+    dk, _ = knn(p1j, p1j, 10, exclude_self=True)
+    np.asarray(dk[:1, :1])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        dk, _ = knn(p1j, p1j, 10, exclude_self=True)
+        np.asarray(dk[:1, :1])
+    k_dt = (time.perf_counter() - t0) / 3
+    log(
+        f"exact kNN k=10 120k self: {k_dt*1e3:.0f} ms "
+        f"({len(p1)/k_dt/1e6:.2f} M queries/s)"
+    )
+
 
 def bench_warp_field():
     """Secondary: non-rigid EDG warp-field ICP (stderr only) — recover a
