@@ -326,3 +326,38 @@ def test_radius_search_pruned_exclude_self(rng):
     np.fill_diagonal(db, np.inf)
     true_counts = (db <= 0.03 * 0.03).sum(1)
     np.testing.assert_array_equal(np.asarray(over), true_counts > 6)
+
+
+def test_nn1_compact_fuzz_masks_and_budgets(rng):
+    """Property fuzz: random occupancy masks x budgets, compact == masked."""
+    import jax.numpy as jnp
+
+    from cilantro_tpu.neighbors.pallas_nn import (
+        _augment, _nn1_pallas_compact, _nn1_pallas_masked,
+    )
+
+    tq, tm = 64, 128
+    for trial in range(4):
+        qn = int(rng.integers(100, 400))
+        mn = int(rng.integers(150, 500))
+        q = rng.uniform(-1, 1, (qn, 3)).astype(np.float32)
+        k = rng.uniform(-1, 1, (mn, 3)).astype(np.float32)
+        qp, kp = _augment(jnp.asarray(q), jnp.asarray(k), None, tq, tm)
+        n_qt, n_mt = qp.shape[0] // tq, kp.shape[0] // tm
+        density = rng.uniform(0.1, 0.9)
+        mask = rng.random((n_qt, n_mt)) < density
+        mask[np.arange(n_qt), rng.integers(0, n_mt, n_qt)] = True
+        mask = jnp.asarray(mask)
+        d_m, i_m = _nn1_pallas_masked(
+            qp, kp, mask.astype(jnp.int32), tile_q=tq, tile_m=tm,
+            interpret=True,
+        )
+        budget = int(rng.integers(1, n_qt * n_mt + 2))
+        d_c, i_c = _nn1_pallas_compact(
+            qp, kp, mask, budget=budget, tile_q=tq, tile_m=tm,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(d_c), np.asarray(d_m), err_msg=f"trial {trial}"
+        )
+        np.testing.assert_array_equal(np.asarray(i_c), np.asarray(i_m))
