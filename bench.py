@@ -233,6 +233,21 @@ def bench_rigid_icp():
         f"({len(p1)/k_dt/1e6:.2f} M queries/s)"
     )
 
+    # Single-core C++ kd-tree kNN baseline for the same query.
+    from cilantro_tpu.native import baseline_knn_native
+
+    res = baseline_knn_native(p1, p1, 10, exclude_self=True)
+    if res is not None:
+        _, _, b_ms, q_ms = res
+        for _ in range(1):
+            _, _, b2, q2 = baseline_knn_native(p1, p1, 10, exclude_self=True)
+            b_ms, q_ms = min(b_ms, b2), min(q_ms, q2)
+        log(
+            f"  C++ kd-tree baseline: build {b_ms:.0f} ms + query "
+            f"{q_ms:.0f} ms ({len(p1)/q_ms*1e3/1e6:.2f} M queries/s) -> "
+            f"TPU is {(b_ms+q_ms)/(k_dt*1e3):.1f}x"
+        )
+
 
 def bench_warp_field():
     """Secondary: non-rigid EDG warp-field ICP (stderr only) — recover a

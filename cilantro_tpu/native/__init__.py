@@ -218,6 +218,53 @@ def baseline_icp_native(
     return out_tf.reshape(3, 4), it, out_ms.value
 
 
+def baseline_knn_native(
+    keys: np.ndarray,
+    queries: np.ndarray,
+    k: int,
+    *,
+    exclude_self: bool = False,
+) -> Optional[Tuple[np.ndarray, np.ndarray, float, float]]:
+    """Single-core C++ kd-tree kNN (the nanoflann-equivalent CPU baseline
+    for the NN-throughput rows; ``core/kd_tree.hpp:199-236``).
+
+    Returns ``(idx (Q, k) int32 with -1 pads, dist² (Q, k), build_ms,
+    query_ms)`` or None without a toolchain.
+    """
+    lib = _baseline_lib()
+    if lib is None:
+        return None
+    if not getattr(lib, "_knn_configured", False):
+        fp = ctypes.POINTER(ctypes.c_float)
+        ip = ctypes.POINTER(ctypes.c_int32)
+        lib.baseline_knn.argtypes = [
+            fp, ctypes.c_int64, fp, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int,
+            ip, fp,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.baseline_knn.restype = ctypes.c_int
+        lib._knn_configured = True
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    ks = np.ascontiguousarray(keys, np.float32)
+    qs = np.ascontiguousarray(queries, np.float32)
+    out_i = np.zeros((len(qs), k), np.int32)
+    out_d = np.zeros((len(qs), k), np.float32)
+    b_ms = ctypes.c_double(0.0)
+    q_ms = ctypes.c_double(0.0)
+    rc = lib.baseline_knn(
+        ks.ctypes.data_as(fp), len(ks),
+        qs.ctypes.data_as(fp), len(qs),
+        k, 1 if exclude_self else 0,
+        out_i.ctypes.data_as(ip), out_d.ctypes.data_as(fp),
+        ctypes.byref(b_ms), ctypes.byref(q_ms),
+    )
+    if rc != 0:
+        raise ValueError(f"baseline_knn failed ({rc})")
+    return out_i, out_d, b_ms.value, q_ms.value
+
+
 # ---------------------------------------------------------------------------
 # Single-core C++ fusion baseline (honest benchmark reference).
 # ---------------------------------------------------------------------------

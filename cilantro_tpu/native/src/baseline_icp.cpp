@@ -84,9 +84,25 @@ struct KDTree {
     return best_i;
   }
 
+  // k nearest neighbors (ascending); skips `self` (pass -1 to keep all).
+  // out_i/out_d2 must hold k entries; slots past the found count get -1.
+  int knn(const float* q, int k, int self, int* out_i, float* out_d2) const {
+    k_cap = k;
+    k_cnt = 0;
+    k_self = self;
+    k_i = out_i;
+    k_d2 = out_d2;
+    search_k(0, q);
+    for (int i = k_cnt; i < k; i++) out_i[i] = -1;
+    return k_cnt;
+  }
+
  private:
   mutable int best_i;
   mutable float best_d2;
+  mutable int k_cap, k_cnt, k_self;
+  mutable int* k_i;
+  mutable float* k_d2;
 
   void search(int node_id, const float* q) const {
     const KDNode& nd = nodes[node_id];
@@ -107,6 +123,39 @@ struct KDTree {
     int far = diff <= 0 ? nd.right : nd.left;
     search(near, q);
     if (diff * diff < best_d2) search(far, q);
+  }
+
+  void insert_k(int id, float d2) const {
+    // Insertion into the sorted k-best array (k is small: 10-ish).
+    if (k_cnt == k_cap && d2 >= k_d2[k_cnt - 1]) return;
+    int pos = k_cnt < k_cap ? k_cnt : k_cap - 1;
+    while (pos > 0 && k_d2[pos - 1] > d2) {
+      k_d2[pos] = k_d2[pos - 1];
+      k_i[pos] = k_i[pos - 1];
+      pos--;
+    }
+    k_d2[pos] = d2;
+    k_i[pos] = id;
+    if (k_cnt < k_cap) k_cnt++;
+  }
+
+  void search_k(int node_id, const float* q) const {
+    const KDNode& nd = nodes[node_id];
+    if (nd.axis < 0) {
+      for (int i = nd.left; i < nd.right; i++) {
+        if (idx[i] == k_self) continue;
+        const float* p = pts + 3 * idx[i];
+        float dx = p[0] - q[0], dy = p[1] - q[1], dz = p[2] - q[2];
+        insert_k(idx[i], dx * dx + dy * dy + dz * dz);
+      }
+      return;
+    }
+    float diff = q[nd.axis] - nd.split;
+    int near = diff <= 0 ? nd.left : nd.right;
+    int far = diff <= 0 ? nd.right : nd.left;
+    search_k(near, q);
+    float bound = k_cnt == k_cap ? k_d2[k_cap - 1] : 1e30f;
+    if (diff * diff < bound) search_k(far, q);
   }
 };
 
@@ -249,6 +298,28 @@ int baseline_icp(const float* src, const float* dst, const float* dst_normals,
   auto t1 = std::chrono::steady_clock::now();
   *out_ms = std::chrono::duration<double, std::milli>(t1 - t0).count();
   return it;
+}
+
+// Single-core kd-tree kNN baseline: build over (n, 3) keys, query all
+// (m, 3) queries for k neighbors (self excluded when queries == keys and
+// exclude_self != 0). out_idx is (m, k) int32 (-1 pads), out_d2 (m, k).
+// Returns 0; *out_build_ms / *out_query_ms report the two phases.
+int baseline_knn(const float* keys, int64_t n, const float* queries,
+                 int64_t m, int k, int exclude_self, int* out_idx,
+                 float* out_d2, double* out_build_ms, double* out_query_ms) {
+  if (!keys || !queries || n <= 0 || m <= 0 || k <= 0) return -1;
+  auto t0 = std::chrono::steady_clock::now();
+  KDTree tree;
+  tree.build(keys, int(n));
+  auto t1 = std::chrono::steady_clock::now();
+  for (int64_t i = 0; i < m; i++) {
+    tree.knn(queries + 3 * i, k, exclude_self ? int(i) : -1,
+             out_idx + size_t(i) * k, out_d2 + size_t(i) * k);
+  }
+  auto t2 = std::chrono::steady_clock::now();
+  *out_build_ms = std::chrono::duration<double, std::milli>(t1 - t0).count();
+  *out_query_ms = std::chrono::duration<double, std::milli>(t2 - t1).count();
+  return 0;
 }
 
 }  // extern "C"

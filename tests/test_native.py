@@ -177,3 +177,25 @@ def test_baseline_fusion_matches_numpy_pipeline():
     # and the trajectory tracks ground truth
     for a, g in zip(poses_cpp, gt):
         np.testing.assert_allclose(a, g, atol=2e-3)
+
+
+def test_baseline_knn_matches_brute(rng):
+    from cilantro_tpu.native import baseline_knn_native
+
+    pts = rng.uniform(-1, 1, (2000, 3)).astype(np.float32)
+    q = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+    res = baseline_knn_native(pts, q, 5)
+    if res is None:
+        import pytest
+
+        pytest.skip("no toolchain")
+    idx, d2, b_ms, q_ms = res
+    d = ((q[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    order = np.argsort(d, axis=1)[:, :5]
+    d_ref = np.take_along_axis(d, order, axis=1)
+    np.testing.assert_allclose(d2, d_ref, rtol=1e-5, atol=1e-7)
+    assert (idx == order).mean() > 0.99
+
+    # exclude_self on a self-query.
+    idx, d2, _, _ = baseline_knn_native(pts, pts, 4, exclude_self=True)
+    assert not np.any(idx == np.arange(2000)[:, None])
