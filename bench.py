@@ -175,6 +175,15 @@ def bench_rigid_icp():
         f"exact nn1 120k vs 120k: {nn_dt*1e3:.0f} ms "
         f"({len(p1)/nn_dt/1e6:.2f} M queries/s)"
     )
+    from cilantro_tpu.native import baseline_knn_native
+
+    res1 = baseline_knn_native(p2, p1, 1)
+    if res1 is not None:
+        _, _, b1, q1 = res1
+        log(
+            f"  C++ kd-tree nn1 baseline: build {b1:.0f} ms + query "
+            f"{q1:.0f} ms ({len(p1)/q1*1e3/1e6:.2f} M queries/s)"
+        )
 
     # Radius-bounded NN (the kd-tree's radius queries): grid backend.
     import jax as _jax
