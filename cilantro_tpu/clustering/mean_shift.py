@@ -65,7 +65,12 @@ def _merge_labels(adj):
     return lab
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "kernel", "weight_fn"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_iterations", "kernel", "weight_fn", "max_neighbors", "merge_cap"
+    ),
+)
 def mean_shift(
     points: jax.Array,
     radius: float,
@@ -77,11 +82,26 @@ def mean_shift(
     merge_distance: Optional[float] = None,
     kernel: str = "flat",
     weight_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    max_neighbors: Optional[int] = None,
+    merge_cap: int = 32,
 ) -> MeanShiftResult:
     """Shift ``seeds`` (default: all points) to their kernel density modes.
 
     ``radius`` is the kernel support; ``merge_distance`` (default ``radius/2``
     as a squared-free absolute distance) merges converged modes.
+
+    ``max_neighbors=None`` (default) is the exact dense path — each
+    iteration materializes one ``(S, N)`` distance block, matching the
+    reference's uncapped radius neighborhoods; its memory is the scale
+    ceiling (~20k seeds). ``max_neighbors=R`` switches to the capped
+    large-N path: each iteration is a radius search (closest ``R`` kept,
+    the fixed-capacity convention used throughout this package) + a
+    gathered weighted mean, and mode merging becomes ``merge_cap``-capped
+    connected components. Exact whenever no neighborhood exceeds the caps;
+    a denser-than-``R`` kernel support biases the shift toward the nearest
+    ``R`` samples (coincident converged modes still merge: tied closest
+    sets share the lowest-index core, keeping the proximity graph
+    connected).
     """
     n, d = points.shape
     if seeds is None:
@@ -92,23 +112,49 @@ def mean_shift(
     if merge_distance is None:
         merge_distance = radius * 0.5
 
-    def weights_of(dist2):
+    def kernel_w(dist2):
         if weight_fn is not None:
-            w = weight_fn(dist2)
-        elif kernel == "normal":
-            w = jnp.exp(-dist2 / (2.0 * r2))
-        else:  # flat
-            w = jnp.ones_like(dist2)
-        return jnp.where((dist2 <= r2) & valid[None, :], w, 0.0)
+            return weight_fn(dist2)
+        if kernel == "normal":
+            return jnp.exp(-dist2 / (2.0 * r2))
+        return jnp.ones_like(dist2)  # flat
 
-    def body(carry):
-        pos, _, it = carry
-        dist2 = _pairwise_sq(pos, points)  # (S, N)
-        w = weights_of(dist2)
-        wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-30)
-        new_pos = (w @ points) / wsum
-        shift = jnp.max(jnp.sum((new_pos - pos) ** 2, axis=1))
-        return new_pos, shift, it + 1
+    def weights_of(dist2):
+        return jnp.where(
+            (dist2 <= r2) & valid[None, :], kernel_w(dist2), 0.0
+        )
+
+    if max_neighbors is None:
+
+        def body(carry):
+            pos, _, it = carry
+            dist2 = _pairwise_sq(pos, points)  # (S, N)
+            w = weights_of(dist2)
+            wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-30)
+            new_pos = (w @ points) / wsum
+            shift = jnp.max(jnp.sum((new_pos - pos) ** 2, axis=1))
+            return new_pos, shift, it + 1
+
+    else:
+        from ..neighbors import radius_search
+
+        def body(carry):
+            pos, _, it = carry
+            nb = radius_search(
+                pos, points, radius, max_neighbors, key_valid=valid
+            )
+            w = jnp.where(
+                nb.mask, kernel_w(jnp.maximum(nb.distances, 0.0)), 0.0
+            )
+            gathered = points[nb.indices]  # (S, R, D)
+            wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-30)
+            new_pos = jnp.einsum("sr,srd->sd", w, gathered) / wsum
+            # Seeds with an empty neighborhood stay put.
+            new_pos = jnp.where(
+                jnp.any(nb.mask, axis=1)[:, None], new_pos, pos
+            )
+            shift = jnp.max(jnp.sum((new_pos - pos) ** 2, axis=1))
+            return new_pos, shift, it + 1
 
     def cond(carry):
         _, shift, it = carry
@@ -118,9 +164,17 @@ def mean_shift(
     modes, _, iters = jax.lax.while_loop(cond, body, init)
 
     # Merge modes closer than merge_distance → cluster labels.
-    md2 = _pairwise_sq(modes, modes)
-    adj = md2 <= merge_distance * merge_distance
-    raw = _merge_labels(adj)
+    if max_neighbors is None:
+        md2 = _pairwise_sq(modes, modes)
+        adj = md2 <= merge_distance * merge_distance
+        raw = _merge_labels(adj)
+    else:
+        from ..neighbors import radius_search
+        from .connected_components import propagate_labels
+
+        nb = radius_search(modes, modes, merge_distance, merge_cap)
+        raw = propagate_labels(nb.indices, nb.mask)
+        raw = jnp.minimum(raw, jnp.int32(modes.shape[0] - 1))
     # Compact labels to 0..K-1 (raw labels are representative seed indices).
     is_rep = raw == jnp.arange(raw.shape[0], dtype=jnp.int32)
     compact = jnp.cumsum(is_rep.astype(jnp.int32)) - 1

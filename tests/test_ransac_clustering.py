@@ -186,3 +186,30 @@ def test_kmeans_custom_metric(rng):
         for t in range(3)
     )
     assert purity2 >= 230
+
+
+def test_mean_shift_capped_matches_dense(rng):
+    """max_neighbors path agrees with the dense path when caps suffice."""
+    import jax.numpy as jnp
+
+    from cilantro_tpu.clustering.mean_shift import mean_shift
+
+    centers = np.array(
+        [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.2, 0.0]], np.float32
+    )
+    pts = np.concatenate(
+        [c + 0.05 * rng.standard_normal((120, 3)) for c in centers]
+    ).astype(np.float32)
+    dense = mean_shift(jnp.asarray(pts), 0.25)
+    capped = mean_shift(jnp.asarray(pts), 0.25, max_neighbors=256)
+    assert int(dense.num_clusters) == 3
+    assert int(capped.num_clusters) == 3
+    # Same partition (labels up to renumbering — both use min-index reps,
+    # so they should be identical here).
+    np.testing.assert_array_equal(
+        np.asarray(dense.labels), np.asarray(capped.labels)
+    )
+    # Modes agree.
+    md = np.asarray(dense.modes)[:3]
+    mc = np.asarray(capped.modes)[:3]
+    assert np.abs(md - mc).max() < 1e-3
