@@ -258,6 +258,78 @@ def bench_rigid_icp():
         )
 
 
+def bench_estimation_clustering():
+    """Secondary: BASELINE config #3 — RANSAC plane / RANSAC transform with
+    noisy correspondences / k-means / PCA on the bundled 120k cloud
+    (stderr only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cilantro_tpu.clustering import kmeans
+    from cilantro_tpu.core.pca import fit_pca
+    from cilantro_tpu.model_estimation import ransac_plane, ransac_transform
+    from cilantro_tpu.utils import read_point_cloud
+
+    p1, _, _ = read_point_cloud(
+        "/root/reference/examples/test_clouds/frame_1.ply"
+    )
+    pts = jax.device_put(np.asarray(p1, np.float32))
+    key = jax.random.PRNGKey(0)
+
+    def timed(label, fn, fetch, reps=3):
+        out = fn()
+        fetch(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            fetch(fn())
+        log(f"{label}: {(time.perf_counter()-t0)/reps*1e3:.1f} ms")
+        return out
+
+    timed(
+        "RANSAC plane 120k (1024 hypotheses)",
+        jax.jit(
+            lambda: ransac_plane(
+                key, pts, 0.01, num_hypotheses=1024
+            )[1].num_inliers
+        ),
+        lambda o: np.asarray(o),
+    )
+    rng = np.random.default_rng(0)
+    sub = np.asarray(p1[:20000], np.float32)
+    ang = 0.2
+    R = np.array(
+        [
+            [np.cos(ang), -np.sin(ang), 0],
+            [np.sin(ang), np.cos(ang), 0],
+            [0, 0, 1],
+        ],
+        np.float32,
+    )
+    dst = sub @ R.T + np.float32([0.05, -0.02, 0.03])
+    out = rng.random(20000) < 0.3  # 30% gross outlier correspondences
+    dst[out] = rng.uniform(-2, 2, (int(out.sum()), 3)).astype(np.float32)
+    subj, dstj = jax.device_put((sub, dst))
+    timed(
+        "RANSAC rigid transform 20k corrs / 30% outliers (1024 hyp)",
+        jax.jit(
+            lambda: ransac_transform(
+                key, subj, dstj, 0.02, num_hypotheses=1024
+            )[1].num_inliers
+        ),
+        lambda o: np.asarray(o),
+    )
+    timed(
+        "k-means k=16 on 120k (k-means++ init)",
+        jax.jit(lambda: kmeans(key, pts, 16).centroids),
+        lambda o: np.asarray(o[0, 0]),
+    )
+    timed(
+        "PCA on 120k",
+        jax.jit(lambda: fit_pca(pts).eigenvectors),
+        lambda o: np.asarray(o[0, 0]),
+    )
+
+
 def bench_warp_field():
     """Secondary: non-rigid EDG warp-field ICP (stderr only) — recover a
     ~20 mm synthetic bend of frame_1 (the examples/non_rigid_icp.cpp
@@ -334,6 +406,10 @@ def main():
         bench_warp_field()
     except Exception as e:
         log(f"warp-field bench skipped: {e}")
+    try:
+        bench_estimation_clustering()
+    except Exception as e:
+        log(f"estimation/clustering bench skipped: {e}")
 
     print(
         json.dumps(
