@@ -644,7 +644,10 @@ def _knn_kernel_compact(
 ):
     """kNN analogue of :func:`_nn1_kernel_compact`: a 1-D grid over the
     surviving (query tile, key chunk) pairs, k-slot running best in VMEM
-    scratch, flag-driven reset/fold/write."""
+    scratch, flag-driven reset/fold. Outputs are BLOCKED per query tile
+    (a whole-array (Qp, k) VMEM residency would lane-pad k → 128 and blow
+    VMEM); the running best is copied into the output block every step so
+    the pipeline flush on a query-tile change always writes current data."""
     s = pl.program_id(0)
     f = fl_ref[s]
 
@@ -663,10 +666,8 @@ def _knn_kernel_compact(
         cand_i = jnp.concatenate([bi[:], chunk_i], axis=1)
         bd[:], bi[:] = _k_smallest(cand_d, cand_i, k)
 
-    @pl.when((f & 4) != 0)
-    def _():
-        out_d_ref[qt_ref[s]] = bd[:]
-        out_i_ref[qt_ref[s]] = bi[:]
+    out_d_ref[:] = bd[:]
+    out_i_ref[:] = bi[:]
 
 
 @partial(
@@ -711,8 +712,8 @@ def _knn_pallas_compact(
             pl.BlockSpec((tile_m, _DPAD), lambda s, qt_, kt_, fl_: (kt_[s], 0)),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, k), lambda s, qt_, kt_, fl_: (qt_[s], 0)),
+            pl.BlockSpec((tile_q, k), lambda s, qt_, kt_, fl_: (qt_[s], 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((tile_q, k), jnp.float32),
@@ -726,15 +727,15 @@ def _knn_pallas_compact(
             partial(_knn_kernel_compact, tm=tile_m, k=k),
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((n_qt, tile_q, k), jnp.float32),
-                jax.ShapeDtypeStruct((n_qt, tile_q, k), jnp.int32),
+                jax.ShapeDtypeStruct((n_qt * tile_q, k), jnp.float32),
+                jax.ShapeDtypeStruct((n_qt * tile_q, k), jnp.int32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
             interpret=interpret,
         )(qt_, kt_, fl_, qp, kp)
-        return d.reshape(-1, k), i.reshape(-1, k)
+        return d, i
 
     def full_path(args):
         del args
