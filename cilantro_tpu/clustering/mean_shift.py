@@ -112,10 +112,13 @@ def mean_shift(
     if merge_distance is None:
         merge_distance = radius * 0.5
 
+    if weight_fn is None and kernel not in ("flat", "normal", "gaussian"):
+        raise ValueError(f"unknown kernel {kernel!r}")
+
     def kernel_w(dist2):
         if weight_fn is not None:
             return weight_fn(dist2)
-        if kernel == "normal":
+        if kernel in ("normal", "gaussian"):
             return jnp.exp(-dist2 / (2.0 * r2))
         return jnp.ones_like(dist2)  # flat
 

@@ -37,3 +37,11 @@ for kernel in ("flat", "gaussian"):
         f"(true 4), max mode error {max(err)*1e3:.1f} mm, "
         f"purity {purity}/1200"
     )
+
+# Large-N path: capped radius neighborhoods + sparse mode merge (same
+# result here; scales past the dense path's (S, N) memory ceiling).
+res = mean_shift(jnp.asarray(pts), 0.5, max_neighbors=512)
+print(
+    f"mean shift [capped  ]: {int(res.num_clusters)} modes "
+    f"(true 4), {int(res.iterations)} iterations"
+)
