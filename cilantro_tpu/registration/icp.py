@@ -109,6 +109,8 @@ def icp(
     ``weight_fn`` maps squared correspondence distances to weights (the
     reference's RBF-kernel evaluators, ``common_pair_evaluators.hpp:46-79``).
     """
+    if metric not in ("point_to_point", "combined", "symmetric", "affine"):
+        raise ValueError(f"unknown metric {metric!r}")
     d = src_points.shape[1]
     if init is None:
         init = identity(d, dtype=src_points.dtype)
@@ -493,6 +495,8 @@ def icp_projective_packed(
         find_projective_correspondences_packed,
     )
 
+    if metric not in ("point_to_point", "combined"):
+        raise ValueError(f"unknown projective-ICP metric {metric!r}")
     d = src_points.shape[1]
     if init is None:
         init = identity(d, dtype=src_points.dtype)
