@@ -924,7 +924,13 @@ def knn_pruned(
         visited = jnp.repeat(
             tile_unres, tile_q, total_repeat_length=qn_pad
         )
-        newly = ~resolved & visited & ((kth <= r2) | covered)
+        # Budget overflow took the full-grid fallback inside the compact
+        # call: EVERY query's answer is then exact, so resolve them all —
+        # otherwise rounds would repeat the expensive full pass.
+        overflowed = jnp.sum(mask.astype(jnp.int32)) > budget
+        newly = ~resolved & (
+            overflowed | (visited & ((kth <= r2) | covered))
+        )
         dist = jnp.where(newly[:, None], d_new, dist)
         idx = jnp.where(newly[:, None], i_new, idx)
         return radius * 2.0, dist, idx, resolved | newly, it + 1
