@@ -77,6 +77,28 @@ def knn_search(
     exclude_self: bool = False,
     backend: str = "auto",
 ) -> Neighborhoods:
+    """Exact kNN. ``backend``: ``'auto'`` (TPU: pruned kernel for large L2
+    3-D problems, fused Pallas otherwise; CPU: XLA scan), ``'pruned'``
+    (force :func:`..pallas_nn.knn_pruned`), or ``'brute'`` (never prune)."""
+    if backend not in ("auto", "pruned", "brute"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend == "pruned":
+        if metric != "l2" or queries.shape[1] != 3:
+            raise ValueError(
+                "backend='pruned' supports the L2 metric in 3D only "
+                f"(got metric={metric!r}, D={queries.shape[1]})"
+            )
+        from .pallas_nn import knn_pruned
+
+        dist, idx = knn_pruned(
+            queries,
+            keys,
+            k,
+            query_valid=query_valid,
+            key_valid=key_valid,
+            exclude_self=exclude_self,
+        )
+        return _finish(dist, idx)
     dist, idx = knn(
         queries,
         keys,
@@ -85,6 +107,7 @@ def knn_search(
         key_valid=key_valid,
         metric=metric,
         exclude_self=exclude_self,
+        allow_pruned=backend == "auto",
     )
     return _finish(dist, idx)
 

@@ -194,19 +194,22 @@ def knn(
     tile_q: int = 1024,
     tile_m: int = 2048,
     exclude_self: bool = False,
+    allow_pruned: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact kNN — fused Pallas kernel on TPU, XLA scan elsewhere.
 
     Large L2 3-D problems take the Morton-tile-pruned radius-doubling
     kernel (:func:`..pallas_nn.knn_pruned` — exact, kd-tree-style box
-    pruning); smaller ones the plain fused kernel.
+    pruning; ``allow_pruned=False`` opts out); smaller ones the plain
+    fused kernel.
 
     See :func:`_knn_xla` for result conventions (squared L2 distances,
     INVALID_DIST padding).
     """
     if _use_pallas(metric, queries.shape[1]):
         if (
-            queries.shape[1] == 3
+            allow_pruned
+            and queries.shape[1] == 3
             and queries.shape[0] * keys.shape[0] >= (1 << 26)
         ):
             from .pallas_nn import knn_pruned
