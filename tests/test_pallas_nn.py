@@ -361,3 +361,55 @@ def test_nn1_compact_fuzz_masks_and_budgets(rng):
             np.asarray(d_c), np.asarray(d_m), err_msg=f"trial {trial}"
         )
         np.testing.assert_array_equal(np.asarray(i_c), np.asarray(i_m))
+
+
+def test_icp_plan_path_end_to_end(rng, monkeypatch):
+    """Run the REAL icp() entry through the prune-plan path (TPU-only in
+    production) with interpret-mode kernels: catches wiring bugs between
+    icp's plan build, find_nn_correspondences' plan dispatch, and the
+    compact kernel that no other CPU test reaches."""
+    import jax.numpy as jnp
+
+    import cilantro_tpu.neighbors.pallas_nn as pnn
+    from cilantro_tpu.registration import icp
+
+    monkeypatch.setattr(
+        pnn, "prune_eligible",
+        lambda q_shape, k_shape, max_distance, metric="l2": (
+            max_distance is not None and metric == "l2" and q_shape[1] == 3
+        ),
+    )
+    orig = pnn.nn1_pruned_planned
+    calls = []
+
+    def traced(q, p, **kw):
+        calls.append(1)
+        return orig(q, p, interpret=True)
+
+    monkeypatch.setattr(pnn, "nn1_pruned_planned", traced)
+
+    n = 3000
+    pts = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    pts[:, 2] = 0.2 * np.sin(4 * pts[:, 0]) * np.cos(3 * pts[:, 1])
+    ang = 0.03
+    R = np.array(
+        [
+            [np.cos(ang), -np.sin(ang), 0],
+            [np.sin(ang), np.cos(ang), 0],
+            [0, 0, 1],
+        ],
+        np.float32,
+    )
+    t = np.float32([0.01, -0.008, 0.012])
+    dst = (pts @ R.T + t).astype(np.float32)
+    nrm = np.zeros_like(dst)
+    nrm[:, 2] = 1.0
+
+    res = icp(
+        jnp.asarray(pts), jnp.asarray(dst), dst_normals=jnp.asarray(nrm),
+        metric="combined", point_weight=0.3, max_corr_dist_sq=0.25,
+        max_iterations=20, convergence_tol=1e-7,
+    )
+    assert calls, "prune-plan path was not taken"
+    assert np.abs(np.asarray(res.transform.translation) - t).max() < 2e-3
+    assert np.abs(np.asarray(res.transform.linear) - R).max() < 2e-3
