@@ -413,3 +413,53 @@ def test_icp_plan_path_end_to_end(rng, monkeypatch):
     assert calls, "prune-plan path was not taken"
     assert np.abs(np.asarray(res.transform.translation) - t).max() < 2e-3
     assert np.abs(np.asarray(res.transform.linear) - R).max() < 2e-3
+
+
+def test_warp_icp_plan_path_end_to_end(rng, monkeypatch):
+    """Same as test_icp_plan_path_end_to_end but for the EDG warp-field
+    outer loop's hoisted plan (also TPU-only in production)."""
+    import jax.numpy as jnp
+
+    import cilantro_tpu.neighbors.pallas_nn as pnn
+    from cilantro_tpu.registration import (
+        build_deformation_graph, icp_warp_field, warp_points,
+    )
+
+    monkeypatch.setattr(
+        pnn, "prune_eligible",
+        lambda q_shape, k_shape, max_distance, metric="l2": (
+            max_distance is not None and metric == "l2" and q_shape[1] == 3
+        ),
+    )
+    orig = pnn.nn1_pruned_planned
+    calls = []
+
+    def traced(q, p, **kw):
+        calls.append(1)
+        return orig(q, p, interpret=True)
+
+    monkeypatch.setattr(pnn, "nn1_pruned_planned", traced)
+
+    g = np.linspace(-0.5, 0.5, 45)
+    gx, gy = np.meshgrid(g, g)
+    src = np.column_stack(
+        [gx.ravel(), gy.ravel(), np.zeros(gx.size)]
+    ).astype(np.float32)
+    dst = src.copy()
+    dst[:, 2] += 0.04 * np.sin(4 * dst[:, 0])  # smooth bend
+    keys = np.round(src[:, :2] / 0.25).astype(np.int64)
+    _, first = np.unique(keys[:, 0] * 10000 + keys[:, 1], return_index=True)
+    nodes = src[np.sort(first)]
+    graph = build_deformation_graph(
+        jnp.asarray(src), jnp.asarray(nodes), k_anchors=4, k_arcs=6
+    )
+    node_tf, _, _ = icp_warp_field(
+        graph, jnp.asarray(src), jnp.asarray(dst),
+        max_corr_dist_sq=0.04, point_weight=1.0, plane_weight=0.0,
+        stiffness=10.0, max_iterations=10, convergence_tol=1e-4,
+        max_cg_iterations=60,
+    )
+    assert calls, "warp prune-plan path was not taken"
+    warped = np.asarray(warp_points(graph, node_tf, jnp.asarray(src)))
+    err = np.linalg.norm(warped - dst, axis=1)
+    assert np.median(err) < 0.01
