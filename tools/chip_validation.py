@@ -127,6 +127,20 @@ def part3():
     RADIUS = 0.02
     print("[3] NN A/B at 120k x 120k:", flush=True)
     (d0, i0), t_un = timed("ungated nn1_pallas", jax.jit(lambda: nn1_pallas(q, kk)))
+    # Step-overhead probe: fewer, bigger steps for the ungated pass.
+    for tq, tm in [(1024, 4096), (1024, 8192), (2048, 4096)]:
+        try:
+            timed(
+                f"ungated nn1 tile_q={tq} tile_m={tm}",
+                jax.jit(
+                    lambda tq=tq, tm=tm: nn1_pallas(
+                        q, kk, tile_q=tq, tile_m=tm
+                    )
+                ),
+                reps=3,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"    tile {tq}x{tm}: FAILED {type(e).__name__}: {e}", flush=True)
     plan = make_nn1_prune_plan(kk, RADIUS, q)
     jax.block_until_ready(plan.kp)
 
