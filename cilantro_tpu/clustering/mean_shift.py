@@ -32,6 +32,10 @@ class MeanShiftResult:
     labels: jax.Array  # (S,) int32 cluster id per seed
     num_clusters: jax.Array  # int32
     iterations: jax.Array  # int32
+    # True when any capped-path neighborhood was truncated (max_neighbors
+    # cap or the grid backend's tile budget) — the result may then deviate
+    # from the exact dense path. Always False on the dense path.
+    overflowed: jax.Array
 
 
 def _pairwise_sq(a, b):
@@ -130,19 +134,19 @@ def mean_shift(
     if max_neighbors is None:
 
         def body(carry):
-            pos, _, it = carry
+            pos, _, it, over = carry
             dist2 = _pairwise_sq(pos, points)  # (S, N)
             w = weights_of(dist2)
             wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-30)
             new_pos = (w @ points) / wsum
             shift = jnp.max(jnp.sum((new_pos - pos) ** 2, axis=1))
-            return new_pos, shift, it + 1
+            return new_pos, shift, it + 1, over
 
     else:
         from ..neighbors import radius_search
 
         def body(carry):
-            pos, _, it = carry
+            pos, _, it, over = carry
             nb = radius_search(
                 pos, points, radius, max_neighbors, key_valid=valid
             )
@@ -157,14 +161,21 @@ def mean_shift(
                 jnp.any(nb.mask, axis=1)[:, None], new_pos, pos
             )
             shift = jnp.max(jnp.sum((new_pos - pos) ** 2, axis=1))
-            return new_pos, shift, it + 1
+            # Honesty: a truncated neighborhood (cap or grid tile budget)
+            # biases the shift — surface it instead of dropping the flag.
+            return new_pos, shift, it + 1, over | jnp.any(nb.overflowed)
 
     def cond(carry):
-        _, shift, it = carry
+        _, shift, it, _ = carry
         return (it < max_iterations) & (shift >= tol)
 
-    init = (seeds, jnp.array(jnp.inf, points.dtype), jnp.array(0, jnp.int32))
-    modes, _, iters = jax.lax.while_loop(cond, body, init)
+    init = (
+        seeds,
+        jnp.array(jnp.inf, points.dtype),
+        jnp.array(0, jnp.int32),
+        jnp.array(False),
+    )
+    modes, _, iters, overflowed = jax.lax.while_loop(cond, body, init)
 
     # Merge modes closer than merge_distance → cluster labels.
     if max_neighbors is None:
@@ -175,6 +186,11 @@ def mean_shift(
         from ..neighbors import radius_search
         from .connected_components import propagate_labels
 
+        # Merge-step truncation is NOT folded into `overflowed`: converged
+        # modes of one cluster are (near-)coincident, so every capped
+        # neighbor list shares the cluster's lowest-index core and the
+        # proximity graph stays connected — truncation here is expected on
+        # every dense cluster and changes nothing.
         nb = radius_search(modes, modes, merge_distance, merge_cap)
         raw = propagate_labels(nb.indices, nb.mask)
         raw = jnp.minimum(raw, jnp.int32(modes.shape[0] - 1))
@@ -193,4 +209,5 @@ def mean_shift(
         labels=labels,
         num_clusters=num_clusters,
         iterations=iters,
+        overflowed=overflowed,
     )

@@ -85,7 +85,9 @@ struct KDTree {
   }
 
   // k nearest neighbors (ascending); skips `self` (pass -1 to keep all).
-  // out_i/out_d2 must hold k entries; slots past the found count get -1.
+  // out_i/out_d2 must hold k entries; slots past the found count get
+  // idx = -1 and d2 = +huge (so an unchecked distance read cannot be
+  // mistaken for a perfect 0-distance neighbor).
   int knn(const float* q, int k, int self, int* out_i, float* out_d2) const {
     k_cap = k;
     k_cnt = 0;
@@ -93,7 +95,10 @@ struct KDTree {
     k_i = out_i;
     k_d2 = out_d2;
     search_k(0, q);
-    for (int i = k_cnt; i < k; i++) out_i[i] = -1;
+    for (int i = k_cnt; i < k; i++) {
+      out_i[i] = -1;
+      out_d2[i] = 3.0e38f;
+    }
     return k_cnt;
   }
 

@@ -200,8 +200,10 @@ def knn(
 
     Large L2 3-D problems take the Morton-tile-pruned radius-doubling
     kernel (:func:`..pallas_nn.knn_pruned` — exact, kd-tree-style box
-    pruning; ``allow_pruned=False`` opts out); smaller ones the plain
-    fused kernel.
+    pruning; ``allow_pruned=False`` opts out). NOTE: the pruned route
+    breaks distance ties by smallest *Morton-sorted* key position, not
+    smallest original index — equidistant neighbors may return a different
+    (equally valid) index than the plain kernel.
 
     See :func:`_knn_xla` for result conventions (squared L2 distances,
     INVALID_DIST padding).
@@ -220,6 +222,8 @@ def knn(
                 k,
                 query_valid=query_valid,
                 key_valid=key_valid,
+                tile_q=tile_q,
+                tile_m=tile_m,
                 exclude_self=exclude_self,
             )
         from .pallas_nn import knn_pallas

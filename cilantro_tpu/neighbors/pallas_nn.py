@@ -440,6 +440,55 @@ class NN1PrunePlan(NamedTuple):
     tile_m: int  # static
 
 
+def _morton_sort(points, valid, origin, cell):
+    """``(perm, points[perm], valid[perm])`` by Morton code of the
+    ``cell``-sized voxel, invalid points last."""
+    from .gridhash import morton_code
+
+    code = jnp.where(
+        valid, morton_code(points, origin, cell), jnp.int32(2**31 - 1)
+    )
+    perm = jnp.argsort(code).astype(jnp.int32)
+    return perm, points[perm], valid[perm]
+
+
+def _inverse_perm(perm):
+    n = perm.shape[0]
+    return (
+        jnp.zeros((n,), jnp.int32)
+        .at[perm]
+        .set(jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+    )
+
+
+def _unpermute_key_indices(kperm, idx, mn):
+    """Map sorted-key indices back to original key order."""
+    return kperm[jnp.clip(idx, 0, mn - 1)]
+
+
+def _drop_self_slot(dist, idx, keep_k):
+    """Self-exclusion postlude shared by the kNN/radius wrappers: given
+    ``keep_k + 1`` ascending slots, drop each query's first REAL self hit
+    (or the overflow probe slot when none) and keep ``keep_k``. Returns
+    ``(dist, idx, any_self, last_slot_hit)`` — the flags feed the radius
+    search's exact overflow computation."""
+    qn = dist.shape[0]
+    rows = jnp.arange(qn, dtype=jnp.int32)
+    hit = dist < INVALID_DIST * 0.5
+    is_self = (idx == rows[:, None]) & hit
+    any_self = jnp.any(is_self, axis=1)
+    first_self = jnp.argmax(is_self, axis=1)
+    drop = jnp.where(any_self, first_self, keep_k)
+    keep = jnp.arange(keep_k + 1)[None, :] != drop[:, None]
+    sel = jnp.argsort(~keep, axis=1, stable=True)[:, :keep_k]
+    return (
+        jnp.take_along_axis(dist, sel, axis=1),
+        jnp.take_along_axis(idx, sel, axis=1),
+        any_self,
+        hit[:, keep_k],
+    )
+
+
 def _tile_aabbs(pts, val, tile):
     big = jnp.float32(3e38)
     d = pts.shape[1]
@@ -508,8 +557,6 @@ def make_nn1_prune_plan(
     """Build the loop-invariant half of :func:`nn1_pruned`: Morton-sort both
     clouds (queries by their ``query_hint`` positions), pre-augment the keys,
     and take the key-chunk AABBs."""
-    from .gridhash import morton_code
-
     qn = query_hint.shape[0]
     mn = keys.shape[0]
     qv = jnp.ones(qn, bool) if query_valid is None else query_valid
@@ -520,23 +567,11 @@ def make_nn1_prune_plan(
         jnp.min(jnp.where(qv[:, None], query_hint, big), axis=0),
         jnp.min(jnp.where(kv[:, None], keys, big), axis=0),
     )
-    qcode = jnp.where(
-        qv, morton_code(query_hint, origin, radius), jnp.int32(2**31 - 1)
-    )
-    kcode = jnp.where(
-        kv, morton_code(keys, origin, radius), jnp.int32(2**31 - 1)
-    )
-    qperm = jnp.argsort(qcode).astype(jnp.int32)
-    kperm = jnp.argsort(kcode).astype(jnp.int32)
-    ks = keys[kperm]
-    kvs = kv[kperm]
+    qperm, _, _ = _morton_sort(query_hint, qv, origin, radius)
+    kperm, ks, kvs = _morton_sort(keys, kv, origin, radius)
     kmin, kmax, k_occ = _tile_aabbs(ks, kvs, tile_m)
     kp = _augment_keys(ks, kvs, tile_m)
-    qinv = (
-        jnp.zeros((qn,), jnp.int32)
-        .at[qperm]
-        .set(jnp.arange(qn, dtype=jnp.int32), unique_indices=True)
-    )
+    qinv = _inverse_perm(qperm)
     return NN1PrunePlan(
         radius=radius,
         kperm=kperm,
@@ -592,7 +627,7 @@ def nn1_pruned_planned(
     # Radius gate + invalid queries; map indices back to original key order.
     ok = (dist <= r2) & qvs
     dist = jnp.where(ok, dist, INVALID_DIST)
-    idx = jnp.where(ok, plan.kperm[jnp.clip(idx, 0, mn - 1)], 0)
+    idx = jnp.where(ok, _unpermute_key_indices(plan.kperm, idx, mn), 0)
     # Un-permute to the original query order.
     return dist[plan.qinv], idx[plan.qinv]
 
@@ -676,7 +711,7 @@ def _knn_kernel_compact(
 def _knn_pallas_compact(
     qp: jax.Array,  # (Qp, 8) augmented, tile_q-padded
     kp: jax.Array,  # (Mp, 8) augmented, tile_m-padded
-    tile_mask: jax.Array,  # (n_qt, n_mt) bool — every row MUST have ≥1 True
+    tile_mask: jax.Array,  # (n_qt, n_mt) bool
     *,
     k: int,
     budget: int,
@@ -685,7 +720,13 @@ def _knn_pallas_compact(
     interpret: bool = False,
 ):
     """Compacted-pair kNN; falls back to the full-grid kernel when more than
-    ``budget`` pairs survive. Returns ``(dist (Qp, k), idx (Qp, k))``."""
+    ``budget`` pairs survive. Returns ``(dist (Qp, k), idx (Qp, k))``.
+
+    Output rows of query tiles whose mask row is all-False are UNDEFINED
+    (their blocked output regions are never written): callers must either
+    guarantee every row has ≥1 True (``radius_search_pruned`` forces the
+    nearest chunk) or mask out unvisited rows afterwards (``knn_pruned``'s
+    ``visited`` gate)."""
     n_qt = qp.shape[0] // tile_q
     n_mt = kp.shape[0] // tile_m
 
@@ -825,7 +866,7 @@ def knn_pruned(
     cost :func:`knn_pallas` pays every time. Same contract as
     :func:`knn_pallas`.
     """
-    from .gridhash import _aabb_dist2, morton_code
+    from .gridhash import _aabb_dist2
 
     if exclude_self:
         dist, idx = knn_pruned(
@@ -834,18 +875,8 @@ def knn_pruned(
             init_radius=init_radius, tile_q=tile_q, tile_m=tile_m,
             max_rounds=max_rounds, interpret=interpret,
         )
-        qn = queries.shape[0]
-        rows = jnp.arange(qn, dtype=jnp.int32)
-        is_self = idx == rows[:, None]
-        any_self = jnp.any(is_self, axis=1)
-        first_self = jnp.argmax(is_self, axis=1)
-        drop = jnp.where(any_self, first_self, k)
-        keep = jnp.arange(k + 1)[None, :] != drop[:, None]
-        sel = jnp.argsort(~keep, axis=1, stable=True)[:, :k]
-        return (
-            jnp.take_along_axis(dist, sel, axis=1),
-            jnp.take_along_axis(idx, sel, axis=1),
-        )
+        dist, idx, _, _ = _drop_self_slot(dist, idx, k)
+        return dist, idx
 
     qn = queries.shape[0]
     mn = keys.shape[0]
@@ -870,18 +901,8 @@ def knn_pruned(
     origin = jnp.minimum(
         jnp.min(jnp.where(qv[:, None], queries, big), axis=0), kext_min
     )
-    qcode = jnp.where(
-        qv, morton_code(queries, origin, r0), jnp.int32(2**31 - 1)
-    )
-    kcode = jnp.where(
-        kv, morton_code(keys, origin, r0), jnp.int32(2**31 - 1)
-    )
-    qperm = jnp.argsort(qcode).astype(jnp.int32)
-    kperm = jnp.argsort(kcode).astype(jnp.int32)
-    qs = queries[qperm]
-    ks = keys[kperm]
-    qvs = qv[qperm]
-    kvs = kv[kperm]
+    qperm, qs, qvs = _morton_sort(queries, qv, origin, r0)
+    kperm, ks, kvs = _morton_sort(keys, kv, origin, r0)
 
     qmin, qmax, q_occ = _tile_aabbs(qs, qvs, tile_q)
     kmin, kmax, k_occ = _tile_aabbs(ks, kvs, tile_m)
@@ -970,16 +991,12 @@ def knn_pruned(
     dist = jnp.where(dist >= INVALID_DIST * 0.5, INVALID_DIST, dist)
     idx = jnp.where(
         dist < INVALID_DIST * 0.5,
-        plan_take(kperm, idx[:qn], mn),
+        _unpermute_key_indices(kperm, idx[:qn], mn),
         0,
     )
     dist = jnp.where(qvs[:, None], dist, INVALID_DIST)
     # Un-permute to original query order.
-    qinv = (
-        jnp.zeros((qn,), jnp.int32)
-        .at[qperm]
-        .set(jnp.arange(qn, dtype=jnp.int32), unique_indices=True)
-    )
+    qinv = _inverse_perm(qperm)
     dist = dist[qinv]
     idx = idx[qinv]
     if k_eff < k:
@@ -988,11 +1005,6 @@ def knn_pruned(
         )
         idx = jnp.pad(idx, ((0, 0), (0, k - k_eff)))
     return dist, idx
-
-
-def plan_take(kperm, idx, mn):
-    """Map sorted-key indices back to original key order."""
-    return kperm[jnp.clip(idx, 0, mn - 1)]
 
 
 @partial(
@@ -1026,7 +1038,7 @@ def radius_search_pruned(
     radius" (the capacity truncation case; there is no tile-budget
     truncation case).
     """
-    from .gridhash import _aabb_dist2, morton_code
+    from .gridhash import _aabb_dist2
 
     if exclude_self:
         dist, idx, over_inner = radius_search_pruned(
@@ -1034,21 +1046,13 @@ def radius_search_pruned(
             query_valid=query_valid, key_valid=key_valid,
             tile_q=tile_q, tile_m=tile_m, interpret=interpret,
         )
-        qn = queries.shape[0]
-        rows = jnp.arange(qn, dtype=jnp.int32)
-        hit = dist < INVALID_DIST * 0.5
-        is_self = (idx == rows[:, None]) & hit
-        any_self = jnp.any(is_self, axis=1)
-        first_self = jnp.argmax(is_self, axis=1)
-        drop = jnp.where(any_self, first_self, max_results)
-        keep = jnp.arange(max_results + 1)[None, :] != drop[:, None]
-        sel = jnp.argsort(~keep, axis=1, stable=True)[:, :max_results]
+        dist, idx, any_self, hit_last = _drop_self_slot(
+            dist, idx, max_results
+        )
         # Exact overflow after the self drop: > max_results+1 within radius
         # (over_inner), or exactly max_results+1 found none of which was
         # the self hit.
-        over = over_inner | (hit[:, max_results] & ~any_self)
-        dist = jnp.take_along_axis(dist, sel, axis=1)
-        idx = jnp.take_along_axis(idx, sel, axis=1)
+        over = over_inner | (hit_last & ~any_self)
         return dist, idx, over
 
     qn = queries.shape[0]
@@ -1067,18 +1071,8 @@ def radius_search_pruned(
         jnp.min(jnp.where(qv[:, None], queries, big), axis=0),
         jnp.min(jnp.where(kv[:, None], keys, big), axis=0),
     )
-    qcode = jnp.where(
-        qv, morton_code(queries, origin, r), jnp.int32(2**31 - 1)
-    )
-    kcode = jnp.where(
-        kv, morton_code(keys, origin, r), jnp.int32(2**31 - 1)
-    )
-    qperm = jnp.argsort(qcode).astype(jnp.int32)
-    kperm = jnp.argsort(kcode).astype(jnp.int32)
-    qs = queries[qperm]
-    ks = keys[kperm]
-    qvs = qv[qperm]
-    kvs = kv[kperm]
+    qperm, qs, qvs = _morton_sort(queries, qv, origin, r)
+    kperm, ks, kvs = _morton_sort(keys, kv, origin, r)
 
     qmin, qmax, q_occ = _tile_aabbs(qs, qvs, tile_q)
     kmin, kmax, k_occ = _tile_aabbs(ks, kvs, tile_m)
@@ -1102,12 +1096,8 @@ def radius_search_pruned(
     # The probe slot (index max_results) within the radius == true overflow.
     over = ok[:, k_eff - 1] & (k_eff == max_results + 1)
     dist = jnp.where(ok, dist, INVALID_DIST)
-    idx = jnp.where(ok, plan_take(kperm, idx, mn), 0)
-    qinv = (
-        jnp.zeros((qn,), jnp.int32)
-        .at[qperm]
-        .set(jnp.arange(qn, dtype=jnp.int32), unique_indices=True)
-    )
+    idx = jnp.where(ok, _unpermute_key_indices(kperm, idx, mn), 0)
+    qinv = _inverse_perm(qperm)
     dist = dist[qinv][:, :max_results]
     idx = idx[qinv][:, :max_results]
     over = over[qinv]
@@ -1147,18 +1137,8 @@ def knn_pallas(
             tile_m=tile_m,
             interpret=interpret,
         )
-        qn = queries.shape[0]
-        rows = jnp.arange(qn, dtype=jnp.int32)
-        is_self = idx == rows[:, None]
-        any_self = jnp.any(is_self, axis=1)
-        first_self = jnp.argmax(is_self, axis=1)
-        drop = jnp.where(any_self, first_self, k)
-        keep = jnp.arange(k + 1)[None, :] != drop[:, None]
-        sel = jnp.argsort(~keep, axis=1, stable=True)[:, :k]
-        return (
-            jnp.take_along_axis(dist, sel, axis=1),
-            jnp.take_along_axis(idx, sel, axis=1),
-        )
+        dist, idx, _, _ = _drop_self_slot(dist, idx, k)
+        return dist, idx
 
     qn = queries.shape[0]
     mn = keys.shape[0]

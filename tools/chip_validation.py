@@ -8,7 +8,7 @@
   5. kNN tile sweep (120k k=10 self-query)
 
 Run ONE at a time via:  PYTHONPATH=/root/repo:/root/.axon_site \
-    python /tmp/chip_session.py <part>     (part in 1..5, or 'all')
+    python tools/chip_validation.py <part>     (part in 1..5, or 'all')
 Writes progress lines to stdout (flush) — pipe to a file and poll.
 """
 import sys
