@@ -213,3 +213,18 @@ def test_mean_shift_capped_matches_dense(rng):
     md = np.asarray(dense.modes)[:3]
     mc = np.asarray(capped.modes)[:3]
     assert np.abs(md - mc).max() < 1e-3
+
+
+def test_mean_shift_capped_overflow_flag(rng):
+    # Dense ball with more in-radius neighbors than the cap trips the flag.
+    import jax.numpy as jnp
+
+    from cilantro_tpu.clustering.mean_shift import mean_shift
+
+    pts = (0.01 * rng.standard_normal((400, 3))).astype(np.float32)
+    res = mean_shift(jnp.asarray(pts), 0.25, max_neighbors=16)
+    assert bool(res.overflowed)
+    assert int(res.num_clusters) == 1
+    # Ample cap on the same data: exact, flag clear.
+    res2 = mean_shift(jnp.asarray(pts), 0.25, max_neighbors=512)
+    assert not bool(res2.overflowed)
