@@ -13,3 +13,7 @@ from .distributed import (  # noqa: F401
     initialize_distributed,
     process_info,
 )
+from .sharded_warp import (  # noqa: F401
+    shard_warp_problem,
+    sharded_estimate_warp_field,
+)

@@ -70,6 +70,13 @@ class DeformationGraph:
     anchor_sorted_ids: jax.Array  # (N·K,) node ids, ascending
     arc_j_order: jax.Array  # (A,) permutation sorting arc_j
     arc_j_sorted: jax.Array  # (A,) ascending
+    # Whether the caches above really are globally sorted. The sharded path
+    # (parallel/sharded_warp.py) replaces them with identity permutations —
+    # a global sort would shuffle rows across shards — and must NOT claim
+    # sortedness to the segment reductions. Static: selects the lowering.
+    caches_sorted: bool = dataclasses.field(
+        default=True, metadata={"static": True}
+    )
 
     @property
     def num_nodes(self) -> int:
@@ -82,7 +89,7 @@ class DeformationGraph:
             flat[self.anchor_order],
             self.anchor_sorted_ids,
             num_segments=self.num_nodes,
-            indices_are_sorted=True,
+            indices_are_sorted=self.caches_sorted,
         )
 
     def segment_over_arc_j(self, values: jax.Array) -> jax.Array:
@@ -90,7 +97,7 @@ class DeformationGraph:
             values[self.arc_j_order],
             self.arc_j_sorted,
             num_segments=self.num_nodes,
-            indices_are_sorted=True,
+            indices_are_sorted=self.caches_sorted,
         )
 
 
