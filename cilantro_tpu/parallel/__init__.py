@@ -16,4 +16,5 @@ from .distributed import (  # noqa: F401
 from .sharded_warp import (  # noqa: F401
     shard_warp_problem,
     sharded_estimate_warp_field,
+    sharded_icp_warp_field,
 )

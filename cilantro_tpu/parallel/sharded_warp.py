@@ -104,6 +104,45 @@ def shard_warp_problem(
     return g, src, dst, nrm, w
 
 
+def sharded_icp_warp_field(
+    graph: DeformationGraph,
+    src_points: jax.Array,
+    dst_points: jax.Array,
+    *,
+    mesh: Mesh,
+    axis: str = "points",
+    dst_normals: Optional[jax.Array] = None,
+    src_valid: Optional[jax.Array] = None,
+    dst_valid: Optional[jax.Array] = None,
+    **kwargs,
+):
+    """The FULL sparse (EDG) non-rigid ICP over a mesh: src points (and all
+    point-aligned graph state) shard over ``axis``; the dst cloud and node
+    system replicate (a 120k frame is ~1.4 MB — replication is the right
+    trade until the map outgrows device memory, at which point the ring
+    pattern of :func:`..sharded.sharded_combined_icp_ring` applies).
+    Same arguments/results as :func:`..registration.warp_field.icp_warp_field`.
+    """
+    from ..registration.warp_field import icp_warp_field
+
+    n = src_points.shape[0]
+    if src_valid is None:
+        src_valid = jnp.ones(n, bool)
+    g, src, _, nrm_s, sv = shard_warp_problem(
+        mesh, graph, src_points, src_points, None,
+        src_valid.astype(jnp.float32), axis=axis,
+    )
+    rep = NamedSharding(mesh, P())
+    dst = jax.device_put(dst_points, rep)
+    nrm = None if dst_normals is None else jax.device_put(dst_normals, rep)
+    dv = None if dst_valid is None else jax.device_put(dst_valid, rep)
+    kwargs.setdefault("solver", "cg")
+    return icp_warp_field(
+        g, src, dst,
+        dst_normals=nrm, src_valid=sv > 0.5, dst_valid=dv, **kwargs,
+    )
+
+
 def sharded_estimate_warp_field(
     graph: DeformationGraph,
     src_points: jax.Array,
