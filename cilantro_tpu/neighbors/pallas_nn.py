@@ -1116,12 +1116,16 @@ def knn_pallas(
     *,
     query_valid: Optional[jax.Array] = None,
     key_valid: Optional[jax.Array] = None,
-    tile_q: int = 256,
-    tile_m: int = 1024,
+    tile_q: int = 512,
+    tile_m: int = 2048,
     exclude_self: bool = False,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact kNN: ``(dist² (Q, k), idx (Q, k) int32)``, ascending by distance.
+
+    Default tiles from the 120k×120k k=10 chip sweep (512/2048: 384 ms vs
+    515 ms at the old 256/1024); large L2 3-D problems should instead go
+    through :func:`knn_pruned` (98.6 ms on the same workload).
 
     ``exclude_self`` searches k+1 and drops the first self match per query
     (same-cloud queries), as the reference does.
