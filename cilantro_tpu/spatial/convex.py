@@ -31,7 +31,13 @@ class ConvexPolytope:
 
     ``vertices (V, D)`` and halfspaces ``A x + b ≤ 0`` as ``normals (F, D)``,
     ``offsets (F,)``; ``faces`` = vertex-index tuples per facet (3D),
-    ``empty`` flags an infeasible/degenerate polytope.
+    ``empty`` flags an infeasible/degenerate polytope, ``bounded`` mirrors
+    the reference's ``isBounded()`` (``convex_polytope.hpp:95``: halfspace
+    intersections may be unbounded — finite vertices are still enumerated,
+    area/volume are infinite). Topology (``face_neighbors`` = facet-adjacent
+    facet indices, ``vertex_faces`` = facet indices incident to each vertex)
+    maps ``convex_polytope.hpp:143-153`` and is populated for bounded
+    full-dimensional polytopes on both construction paths.
     """
 
     vertices: np.ndarray
@@ -39,6 +45,10 @@ class ConvexPolytope:
     offsets: np.ndarray
     faces: Optional[Sequence[np.ndarray]] = None
     empty: bool = False
+    bounded: bool = True
+    interior_point: Optional[np.ndarray] = None
+    face_neighbors: Optional[np.ndarray] = None
+    vertex_faces: Optional[Sequence[np.ndarray]] = None
 
     # -- construction ------------------------------------------------------
 
@@ -70,18 +80,27 @@ class ConvexPolytope:
         # qhull equations: normals·x + offset ≤ 0 for interior.
         eq = hull.equations
         faces = None
-        if d == 3:
+        vertex_faces = None
+        if d >= 2:
             # Remap simplex indices to hull-vertex indices.
             remap = {v: i for i, v in enumerate(hull.vertices)}
             faces = [
                 np.array([remap[v] for v in simplex], np.int64)
                 for simplex in hull.simplices
             ]
+            incidence: list = [[] for _ in range(len(verts))]
+            for fi, face in enumerate(faces):
+                for v in face:
+                    incidence[v].append(fi)
+            vertex_faces = [np.array(sorted(ix), np.int64) for ix in incidence]
         return ConvexPolytope(
             vertices=verts,
             normals=eq[:, :d].copy(),
             offsets=eq[:, d].copy(),
             faces=faces,
+            interior_point=verts.mean(0),
+            face_neighbors=hull.neighbors.copy(),
+            vertex_faces=vertex_faces,
         )
 
     @staticmethod
@@ -90,15 +109,24 @@ class ConvexPolytope:
         offsets: np.ndarray,
         interior_point: Optional[np.ndarray] = None,
     ) -> "ConvexPolytope":
-        """Vertex enumeration of ``A x + b ≤ 0`` (reference
-        ``evaluateHalfspaceIntersection``, dual-transform method)."""
-        from scipy.spatial import HalfspaceIntersection, QhullError
+        """Vertex enumeration of ``A x + b ≤ 0`` by the dual transform
+        (reference ``evaluateHalfspaceIntersection``,
+        ``convex_hull_utilities.hpp:195-314``): normalize, shift to a strict
+        interior point, hull the dual points ``aᵢ/(−bᵢ)``; each dual facet
+        with negative offset is a primal vertex, a nonnegative dual offset
+        marks the region unbounded (finite vertices still returned, matching
+        the reference's ``is_bounded=false`` path)."""
+        from scipy.spatial import ConvexHull, QhullError
 
         normals = np.asarray(normals, np.float64)
         offsets = np.asarray(offsets, np.float64)
         d = normals.shape[1]
+        scale = np.linalg.norm(normals, axis=1)
+        keep = scale > 0
+        a = normals[keep] / scale[keep, None]
+        b = offsets[keep] / scale[keep]
         if interior_point is None:
-            interior_point = find_feasible_point(normals, offsets)
+            interior_point = find_feasible_point(a, b)
         if interior_point is None:
             return ConvexPolytope(
                 vertices=np.zeros((0, d)),
@@ -106,18 +134,55 @@ class ConvexPolytope:
                 offsets=offsets,
                 empty=True,
             )
-        hs = np.column_stack([normals, offsets])
+        c = np.asarray(interior_point, np.float64)
+        if len(a) == 0:
+            # No constraints: all of space (complement of the empty region).
+            return ConvexPolytope(
+                vertices=np.zeros((0, d)),
+                normals=np.zeros((0, d)),
+                offsets=np.zeros((0,)),
+                bounded=False,
+                interior_point=c,
+            )
+
+        def unbounded_no_vertices() -> "ConvexPolytope":
+            a2, b2 = _drop_redundant_halfspaces(a, b)
+            return ConvexPolytope(
+                vertices=np.zeros((0, d)),
+                normals=a2,
+                offsets=b2,
+                bounded=False,
+                interior_point=c,
+            )
+
+        if len(a) <= d or np.linalg.matrix_rank(a) < d:
+            # Cone/slab-like region with no vertices (reference rank guard,
+            # ``convex_hull_utilities.hpp:232-255``).
+            return unbounded_no_vertices()
+        b_shift = np.minimum(a @ c + b, -1e-12)  # strictly < 0 at interior
+        dual = a / (-b_shift[:, None])
         try:
-            inter = HalfspaceIntersection(hs, interior_point)
+            dual_hull = ConvexHull(dual)
         except QhullError:
-            return ConvexPolytope(
-                vertices=np.zeros((0, d)),
-                normals=normals,
-                offsets=offsets,
-                empty=True,
-            )
-        # Re-hull the intersection vertices for clean topology + minimal H-rep.
-        return ConvexPolytope.from_points(inter.intersections)
+            return unbounded_no_vertices()
+        eq = dual_hull.equations  # n·y + off ≤ 0 for the dual interior
+        finite = eq[:, d] < -1e-12
+        bounded = bool(finite.all())
+        verts = _dedup_rows(eq[finite, :d] / (-eq[finite, d][:, None]) + c)
+        if bounded and len(verts) > d:
+            # Re-hull for clean topology + minimal H-rep (the reference's
+            # facet extraction from the dual vertices).
+            poly = ConvexPolytope.from_points(verts)
+            if not poly.empty:
+                return dataclasses.replace(poly, interior_point=c)
+        a2, b2 = _drop_redundant_halfspaces(a, b)
+        return ConvexPolytope(
+            vertices=verts,
+            normals=a2,
+            offsets=b2,
+            bounded=bounded,
+            interior_point=c,
+        )
 
     # -- queries (jittable) ------------------------------------------------
 
@@ -126,8 +191,11 @@ class ConvexPolytope:
         containment test (``convex_polytope.hpp:109-141``)."""
         a = jnp.asarray(self.normals, jnp.float32)
         b = jnp.asarray(self.offsets, jnp.float32)
-        if self.empty or len(self.normals) == 0:
+        if self.empty:
             return jnp.full(jnp.asarray(points).shape[0], jnp.inf)
+        if len(self.normals) == 0:
+            # No constraints = all of space: every point is strictly inside.
+            return jnp.full(jnp.asarray(points).shape[0], -jnp.inf)
         return jnp.max(points @ a.T + b, axis=-1)
 
     def contains(self, points, tolerance: float = 0.0) -> jnp.ndarray:
@@ -138,10 +206,15 @@ class ConvexPolytope:
     # -- geometry ----------------------------------------------------------
 
     def area_volume(self) -> Tuple[float, float]:
-        """Surface area + volume (reference ``convex_hull_utilities.hpp:494+``)."""
+        """Surface area + volume (reference ``convex_hull_utilities.hpp:494+``;
+        unbounded polytopes report infinity, ``convex_polytope.hpp:264-265``)."""
         from scipy.spatial import ConvexHull
 
-        if self.empty or len(self.vertices) == 0:
+        if self.empty:
+            return 0.0, 0.0
+        if not self.bounded:
+            return float("inf"), float("inf")
+        if len(self.vertices) == 0:
             return 0.0, 0.0
         hull = ConvexHull(self.vertices)
         return float(hull.area), float(hull.volume)
@@ -169,9 +242,61 @@ class ConvexPolytope:
         off = self.offsets - nrm @ translation
         scale = np.linalg.norm(nrm, axis=1)
         scale = np.where(scale > 0, scale, 1.0)
+        ip = self.interior_point
+        if ip is not None:
+            ip = ip @ linear.T + translation
         return dataclasses.replace(
-            self, vertices=verts, normals=nrm / scale[:, None], offsets=off / scale
+            self,
+            vertices=verts,
+            normals=nrm / scale[:, None],
+            offsets=off / scale,
+            interior_point=ip,
         )
+
+
+def _dedup_rows(rows: np.ndarray, decimals: int = 9) -> np.ndarray:
+    """Drop near-duplicate rows (dual-hull facets of one primal vertex repeat
+    when qhull triangulates)."""
+    if len(rows) == 0:
+        return rows
+    _, ix = np.unique(np.round(rows, decimals), axis=0, return_index=True)
+    return rows[np.sort(ix)]
+
+
+def _drop_redundant_halfspaces(
+    a: np.ndarray, b: np.ndarray, tol: float = 1e-9
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Minimal H-rep of ``A x + b ≤ 0``: halfspace *i* is redundant when
+    ``max aᵢ·x + bᵢ`` over the others' feasible set is ≤ 0 (the reference's
+    per-halfspace LP, ``checkLinearInequalityConstraintRedundancy``,
+    ``convex_hull_utilities.hpp:12-73``). Exact duplicates drop first."""
+    from scipy.optimize import linprog
+
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    _, ix = np.unique(
+        np.round(np.column_stack([a, b]), 9), axis=0, return_index=True
+    )
+    a, b = a[np.sort(ix)], b[np.sort(ix)]
+    if len(a) <= 1:
+        return a, b
+    keep = np.ones(len(a), bool)
+    bounds = [(-1e6, 1e6)] * a.shape[1]
+    for i in range(len(a)):
+        others = keep.copy()
+        others[i] = False
+        if not others.any():
+            continue
+        res = linprog(
+            -a[i],
+            A_ub=a[others],
+            b_ub=-b[others],
+            bounds=bounds,
+            method="highs",
+        )
+        if res.success and -res.fun + b[i] <= tol:
+            keep[i] = False
+    return a[keep], b[keep]
 
 
 def find_feasible_point(

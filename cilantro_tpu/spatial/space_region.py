@@ -45,7 +45,12 @@ class SpaceRegion:
 
     def complement(self) -> "SpaceRegion":
         """De Morgan: ¬(∪_i P_i) = ∩_i ¬P_i, with ¬P = ∪_f {flipped facet f};
-        the intersection distributes into one polytope per facet tuple."""
+        the intersection distributes into one polytope per facet tuple. Each
+        surviving tuple is *fully evaluated* through the halfspace-
+        intersection machinery (as the reference, ``space_region.hpp:84-89``:
+        finite vertices enumerated, minimal H-rep, ``bounded`` flag), so
+        complement outputs support ``area_volume``/``transformed``/
+        re-complement like any other polytope."""
         live = [p for p in self.polytopes if not p.empty and len(p.normals)]
         if not live:
             # Complement of the empty region is all of space (one polytope
@@ -61,6 +66,7 @@ class SpaceRegion:
                         vertices=np.zeros((0, d)),
                         normals=np.zeros((0, d)),
                         offsets=np.zeros((0,)),
+                        bounded=False,
                     )
                 ]
             )
@@ -73,14 +79,14 @@ class SpaceRegion:
             offsets = np.array(
                 [-live[i].offsets[f] for i, f in enumerate(combo)]
             )
-            if find_feasible_point(normals, offsets) is not None:
-                out.append(
-                    ConvexPolytope(
-                        vertices=np.zeros((0, normals.shape[1])),
-                        normals=normals,
-                        offsets=offsets,
-                    )
-                )
+            feasible = find_feasible_point(normals, offsets)
+            if feasible is None:
+                continue
+            poly = ConvexPolytope.from_halfspaces(
+                normals, offsets, interior_point=feasible
+            )
+            if not poly.empty:
+                out.append(poly)
         return SpaceRegion(out)
 
     def contains(self, points, tolerance: float = 0.0) -> jnp.ndarray:

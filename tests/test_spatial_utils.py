@@ -119,6 +119,100 @@ class TestSpaceRegion:
         pts = jnp.asarray(np.float32([[0.5, 0.5, 0.5], [2.0, 0.5, 0.5]]))
         assert np.asarray(comp.contains(pts, 1e-6)).tolist() == [False, True]
 
+    def test_complement_polytopes_fully_evaluated(self):
+        """Complement pieces are evaluated polytopes (space_region.hpp:84-89):
+        unbounded flags, infinite measure, transformable, re-complementable."""
+        comp = SpaceRegion([ConvexPolytope.from_points(CUBE)]).complement()
+        assert len(comp.polytopes) > 0
+        for p in comp.polytopes:
+            assert not p.empty
+            assert not p.bounded  # cube complement pieces are all unbounded
+            area, vol = p.area_volume()
+            assert area == float("inf") and vol == float("inf")
+            assert p.interior_point is not None
+        # transformed complement still excludes the shifted cube interior
+        shifted = SpaceRegion(
+            [p.transformed(np.eye(3), np.array([10.0, 0, 0]))
+             for p in comp.polytopes]
+        )
+        pts = jnp.asarray(np.float32([[10.5, 0.5, 0.5], [12.0, 0.5, 0.5]]))
+        assert np.asarray(shifted.contains(pts, 1e-6)).tolist() == [
+            False, True,
+        ]
+        # re-complement recovers the original region's membership
+        back = comp.complement()
+        pts2 = jnp.asarray(np.float32([[0.5, 0.5, 0.5], [2.0, 0.5, 0.5]]))
+        assert np.asarray(back.contains(pts2, 1e-6)).tolist() == [True, False]
+
+    def test_complement_of_empty_is_all_space(self):
+        comp = SpaceRegion(
+            [ConvexPolytope.from_points(CUBE[:2])]  # degenerate → empty
+        ).complement()
+        pts = jnp.asarray(np.float32([[0.0, 0.0, 0.0], [1e4, -1e4, 42.0]]))
+        assert np.asarray(comp.contains(pts, 1e-6)).all()
+
+
+class TestPolytopeTopologyAndUnbounded:
+    def test_face_topology_consistency(self):
+        p = ConvexPolytope.from_points(CUBE)
+        nf = len(p.faces)
+        assert p.face_neighbors is not None and p.face_neighbors.shape == (
+            nf, 3,
+        )
+        assert ((p.face_neighbors >= 0) & (p.face_neighbors < nf)).all()
+        # neighbor facets share an edge (2 common vertices, triangulated 3D)
+        for f, nbrs in enumerate(p.face_neighbors):
+            for g in nbrs:
+                assert len(set(p.faces[f]) & set(p.faces[g])) == 2
+        # vertex-facet incidence inverts the facet-vertex lists
+        assert len(p.vertex_faces) == len(p.vertices)
+        for v, fl in enumerate(p.vertex_faces):
+            for f in fl:
+                assert v in p.faces[f]
+        for f, face in enumerate(p.faces):
+            for v in face:
+                assert f in p.vertex_faces[v]
+
+    def test_from_halfspaces_topology(self):
+        p = ConvexPolytope.from_points(CUBE)
+        q = ConvexPolytope.from_halfspaces(p.normals, p.offsets)
+        assert q.bounded and q.faces is not None
+        assert q.face_neighbors is not None and q.vertex_faces is not None
+
+    def test_unbounded_orthant_vertex(self):
+        # x ≥ 0, y ≥ 0, z ≥ 0: unbounded cone, single vertex at the origin.
+        n = -np.eye(3)
+        b = np.zeros(3)
+        p = ConvexPolytope.from_halfspaces(n, b)
+        assert not p.empty and not p.bounded
+        assert p.area_volume() == (float("inf"), float("inf"))
+        inside = np.asarray(
+            p.contains(jnp.asarray(np.float32([[1, 2, 3], [-1, 2, 3]])), 1e-6)
+        )
+        assert inside.tolist() == [True, False]
+
+    def test_unbounded_slab_no_vertices(self):
+        # 0 ≤ x ≤ 1: rank-deficient normals, no vertices.
+        n = np.array([[-1.0, 0, 0], [1.0, 0, 0]])
+        b = np.array([0.0, -1.0])
+        p = ConvexPolytope.from_halfspaces(n, b)
+        assert not p.empty and not p.bounded
+        assert len(p.vertices) == 0
+        inside = np.asarray(
+            p.contains(
+                jnp.asarray(np.float32([[0.5, 9, -9], [1.5, 0, 0]])), 1e-6
+            )
+        )
+        assert inside.tolist() == [True, False]
+
+    def test_redundant_halfspace_dropped(self):
+        p = ConvexPolytope.from_points(CUBE)
+        n = np.vstack([p.normals, [[1.0, 0, 0]]])  # x ≤ 5: redundant
+        b = np.concatenate([p.offsets, [-5.0]])
+        q = ConvexPolytope.from_halfspaces(n, b)
+        _, vol = q.area_volume()
+        assert abs(vol - 1.0) < 1e-6
+
 
 class TestMDS:
     def test_recovers_planar_config(self, rng):
