@@ -44,7 +44,13 @@ bool type_is_float(const std::string& t) {
   return t == "float" || t == "float32" || t == "double" || t == "float64";
 }
 
-double read_scalar(const uint8_t* p, const Property& prop) {
+double read_scalar(const uint8_t* p, const Property& prop,
+                   bool swap = false) {
+  uint8_t tmp[8];
+  if (swap) {
+    for (int i = 0; i < prop.size; i++) tmp[i] = p[prop.size - 1 - i];
+    p = tmp;
+  }
   if (prop.is_float) {
     if (prop.size == 4) {
       float v;
@@ -137,7 +143,6 @@ int ply_read(const char* path, float** out_points, float** out_normals,
       std::sscanf(line.c_str(), "format %63s", a);
       binary = std::strncmp(a, "binary", 6) == 0;
       big_endian = std::strcmp(a, "binary_big_endian") == 0;
-      if (big_endian) return -4;  // not supported
     } else if (line.rfind("element", 0) == 0) {
       long long cnt = 0;
       std::sscanf(line.c_str(), "element %63s %lld", a, &cnt);
@@ -233,9 +238,10 @@ int ply_read(const char* path, float** out_points, float** out_normals,
       return fail(-10);
 
     // Fast path: the ubiquitous all-float32 geometry (+uchar colors) layout
-    // — tight strided copies, no per-scalar dispatch.
+    // — tight strided copies, no per-scalar dispatch. Little-endian only;
+    // big_endian rides the general byte-swapping path below.
     auto is_f4 = [&](int i) { return vx->props[i].is_float && vx->props[i].size == 4; };
-    bool fast = is_f4(ix) && is_f4(iy) && is_f4(iz) &&
+    bool fast = !big_endian && is_f4(ix) && is_f4(iy) && is_f4(iz) &&
                 (!has_n || (is_f4(inx) && is_f4(iny) && is_f4(inz))) &&
                 (!has_c || ((vx->props[ir].size == 1 && !vx->props[ir].is_float &&
                              vx->props[ig].size == 1 && vx->props[ib2].size == 1)));
@@ -275,22 +281,22 @@ int ply_read(const char* path, float** out_points, float** out_normals,
 
     for (int64_t i = 0; i < n; i++) {
       const uint8_t* row = base + size_t(i) * stride;
-      pts[3 * i + 0] = float(read_scalar(row + offsets[ix], vx->props[ix]));
-      pts[3 * i + 1] = float(read_scalar(row + offsets[iy], vx->props[iy]));
-      pts[3 * i + 2] = float(read_scalar(row + offsets[iz], vx->props[iz]));
+      pts[3 * i + 0] = float(read_scalar(row + offsets[ix], vx->props[ix], big_endian));
+      pts[3 * i + 1] = float(read_scalar(row + offsets[iy], vx->props[iy], big_endian));
+      pts[3 * i + 2] = float(read_scalar(row + offsets[iz], vx->props[iz], big_endian));
       if (has_n) {
-        nrm[3 * i + 0] = float(read_scalar(row + offsets[inx], vx->props[inx]));
-        nrm[3 * i + 1] = float(read_scalar(row + offsets[iny], vx->props[iny]));
-        nrm[3 * i + 2] = float(read_scalar(row + offsets[inz], vx->props[inz]));
+        nrm[3 * i + 0] = float(read_scalar(row + offsets[inx], vx->props[inx], big_endian));
+        nrm[3 * i + 1] = float(read_scalar(row + offsets[iny], vx->props[iny], big_endian));
+        nrm[3 * i + 2] = float(read_scalar(row + offsets[inz], vx->props[inz], big_endian));
       }
       if (has_c) {
         float scale = vx->props[ir].is_float ? 1.0f : (1.0f / 255.0f);
         col[3 * i + 0] =
-            float(read_scalar(row + offsets[ir], vx->props[ir])) * scale;
+            float(read_scalar(row + offsets[ir], vx->props[ir], big_endian)) * scale;
         col[3 * i + 1] =
-            float(read_scalar(row + offsets[ig], vx->props[ig])) * scale;
+            float(read_scalar(row + offsets[ig], vx->props[ig], big_endian)) * scale;
         col[3 * i + 2] =
-            float(read_scalar(row + offsets[ib2], vx->props[ib2])) * scale;
+            float(read_scalar(row + offsets[ib2], vx->props[ib2], big_endian)) * scale;
       }
     }
   } else {

@@ -6,8 +6,9 @@ of ``utilities/point_cloud.hpp:118-121``). Pure Python + numpy: PLY parsing is
 host I/O, not a TPU hot path; a C++ fast path for huge files lives in
 ``cilantro_tpu/native`` (optional).
 
-Supports ``format ascii 1.0`` and ``format binary_little_endian 1.0``, the two
-formats the bundled fixtures and the reference writer use.
+Supports ``format ascii 1.0``, ``format binary_little_endian 1.0`` and
+``format binary_big_endian 1.0`` (tinyply reads both endiannesses; the writer
+emits little-endian or ascii, as the reference's does).
 """
 
 from __future__ import annotations
@@ -70,7 +71,7 @@ def _parse_header(f) -> Tuple[str, List[PLYElement]]:
                 elements[-1].properties.append((tokens[2], _PLY_DTYPES[tokens[1]]))
         elif tokens[0] == "end_header":
             break
-    if fmt not in ("ascii", "binary_little_endian"):
+    if fmt not in ("ascii", "binary_little_endian", "binary_big_endian"):
         raise ValueError(f"unsupported PLY format: {fmt}")
     return fmt, elements
 
@@ -84,8 +85,9 @@ def read_ply(path: str, preload: bool = True) -> Dict[str, PLYElement]:
     with open(path, "rb") as fh:
         f = io.BytesIO(fh.read()) if preload else fh
         fmt, elements = _parse_header(f)
+        e = ">" if fmt == "binary_big_endian" else "<"
         for el in elements:
-            dtype = np.dtype([(n, "<" + t) for n, t in el.properties])
+            dtype = np.dtype([(n, e + t) for n, t in el.properties])
             if el.list_properties:
                 # Row-by-row parse (faces etc.); assumes fixed small counts.
                 el.list_data = {n: [] for n, _, _ in el.list_properties}
@@ -107,12 +109,12 @@ def read_ply(path: str, preload: bool = True) -> Dict[str, PLYElement]:
                         row = []
                         for n, t in el.properties:
                             row.append(np.frombuffer(
-                                f.read(np.dtype(t).itemsize), "<" + t)[0])
+                                f.read(np.dtype(t).itemsize), e + t)[0])
                         for n, ct, vt in el.list_properties:
                             cnt = int(np.frombuffer(
-                                f.read(np.dtype(ct).itemsize), "<" + ct)[0])
+                                f.read(np.dtype(ct).itemsize), e + ct)[0])
                             el.list_data[n].append(np.frombuffer(
-                                f.read(cnt * np.dtype(vt).itemsize), "<" + vt))
+                                f.read(cnt * np.dtype(vt).itemsize), e + vt))
                         rows.append(tuple(row))
                 el.data = np.array(rows, dtype=dtype) if el.properties else None
             else:

@@ -24,6 +24,74 @@ def test_roundtrip_ascii(tmp_path, rng):
     assert rn is None and rc is None
 
 
+def _write_big_endian_ply(path, pts, nrm, col_u8):
+    """Synthesize a binary_big_endian fixture (tinyply parity: the reference
+    reads both endiannesses)."""
+    n = len(pts)
+    header = (
+        "ply\nformat binary_big_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property float nx\nproperty float ny\nproperty float nz\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "end_header\n"
+    )
+    rec = np.zeros(
+        n,
+        np.dtype(
+            [("x", ">f4"), ("y", ">f4"), ("z", ">f4"),
+             ("nx", ">f4"), ("ny", ">f4"), ("nz", ">f4"),
+             ("red", "u1"), ("green", "u1"), ("blue", "u1")]
+        ),
+    )
+    rec["x"], rec["y"], rec["z"] = pts.T
+    rec["nx"], rec["ny"], rec["nz"] = nrm.T
+    rec["red"], rec["green"], rec["blue"] = col_u8.T
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(rec.tobytes())
+
+
+def test_read_big_endian(tmp_path, rng):
+    pts = rng.normal(size=(64, 3)).astype(np.float32)
+    nrm = rng.normal(size=(64, 3)).astype(np.float32)
+    col = (rng.uniform(size=(64, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "be.ply")
+    _write_big_endian_ply(p, pts, nrm, col)
+
+    # Public path (native codec with Python fallback)
+    rp, rn, rc = read_point_cloud(p)
+    np.testing.assert_allclose(rp, pts, atol=1e-6)
+    np.testing.assert_allclose(rn, nrm, atol=1e-6)
+    np.testing.assert_allclose(rc, col.astype(np.float32) / 255.0, atol=1e-6)
+
+    # Pure-Python parser explicitly
+    from cilantro_tpu.utils.ply_io import read_ply
+
+    v = read_ply(p)["vertex"].data
+    np.testing.assert_allclose(
+        np.stack([v["x"], v["y"], v["z"]], -1).astype(np.float32), pts,
+        atol=1e-6,
+    )
+
+
+def test_read_big_endian_native(tmp_path, rng):
+    from cilantro_tpu.native import ply_read_native
+
+    pts = rng.normal(size=(33, 3)).astype(np.float32)
+    nrm = rng.normal(size=(33, 3)).astype(np.float32)
+    col = (rng.uniform(size=(33, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "be_native.ply")
+    _write_big_endian_ply(p, pts, nrm, col)
+    out = ply_read_native(p)
+    if out is None:  # native lib unavailable in this environment
+        return
+    rp, rn, rc = out
+    np.testing.assert_allclose(rp, pts, atol=1e-6)
+    np.testing.assert_allclose(rn, nrm, atol=1e-6)
+    np.testing.assert_allclose(rc, col.astype(np.float32) / 255.0, atol=1e-6)
+
+
 def test_read_reference_fixture(frame_pair):
     (p1, n1, c1), (p2, n2, c2) = frame_pair
     assert p1.shape == (120111, 3)
