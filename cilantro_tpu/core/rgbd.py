@@ -250,6 +250,72 @@ def _zbuffer_winner(
     return widx.reshape(h, w), depth.reshape(h, w)
 
 
+def _zbuffer_winner_batched(
+    points: jax.Array,
+    valid: jax.Array,
+    intrinsics: CameraIntrinsics,
+    h: int,
+    w: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-pixel winner for B independent streams in ONE rank-1 scatter-min.
+
+    ``points (B, N, 3)`` camera-frame, ``valid (B, N)`` → ``(index (B, h, w)
+    int32 — LOCAL within each stream's N rows — and depth (B, h, w))``.
+
+    vmapping :func:`_zbuffer_winner` batches the scatter into a rank-2
+    indexed op that falls off XLA's fast path; here the B images are laid
+    out as one ``(B·h·w,)`` pixel space and the rows as one ``(B·N,)``
+    stream, so the packed-key scatter-min stays the same rank-1 fast-path
+    op the single-stream kernel uses (same key packing + >2^20 grouping).
+    """
+    bsz, n, _ = points.shape
+    flat = points.reshape(bsz * n, 3)
+    u, v, z = project_points(flat, intrinsics)
+    okf = (
+        valid.reshape(-1) & (z > 0) & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    )
+    stream = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), n)
+    total = bsz * n
+    npix = bsz * h * w
+    group = 1 << 20
+    n_groups = (total + group - 1) // group
+    idx_bits = min(max(total - 1, 1).bit_length(), 20)
+    levels = float(1 << (31 - idx_bits))
+    pix_g = jnp.where(okf, stream * (h * w) + (v * w + u), npix)
+    z_max = jnp.max(jnp.where(okf, z, 0.0)) + 1e-6
+    zq = jnp.clip(z * (levels / z_max), 0, levels - 2).astype(jnp.int32)
+    inval = jnp.int32(2**31 - 1)
+
+    best_key = None
+    best_group = None
+    for g in range(n_groups):
+        lo, hi = g * group, min((g + 1) * group, total)
+        local_idx = jnp.arange(hi - lo, dtype=jnp.int32)
+        key = jnp.where(
+            okf[lo:hi], (zq[lo:hi] << idx_bits) | local_idx, inval
+        )
+        img = jnp.full((npix,), inval).at[pix_g[lo:hi]].min(key, mode="drop")
+        if best_key is None:
+            best_key, best_group = img, jnp.zeros_like(img)
+        else:
+            better = img < best_key
+            best_key = jnp.where(better, img, best_key)
+            best_group = jnp.where(better, jnp.int32(g), best_group)
+
+    has = best_key != inval
+    widx_g = jnp.where(
+        has, (best_key & ((1 << idx_bits) - 1)) + best_group * group, 0
+    )
+    # Global row index → stream-local index (each output pixel belongs to a
+    # known stream, so the subtraction is exact).
+    pix_stream = (
+        jnp.arange(npix, dtype=jnp.int32) // (h * w)
+    )
+    widx = jnp.where(has, widx_g - pix_stream * n, -1)
+    depth = jnp.where(has, z[widx_g], 0.0)
+    return widx.reshape(bsz, h, w), depth.reshape(bsz, h, w)
+
+
 @partial(jax.jit, static_argnames=("h", "w"))
 def points_to_index_map(
     points: jax.Array,

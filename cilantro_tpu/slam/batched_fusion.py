@@ -1,0 +1,284 @@
+"""Multi-stream batched fusion: B independent RGBD streams in ONE program.
+
+Round-3 TPU redesign for per-chip *throughput* (the reference runs one
+stream on one machine, ``examples/fusion.cpp:125-254``; a chip serves many).
+Measured motivation: ``jax.vmap`` of the single-stream integrator batches
+its gathers/scatters into rank-2 indexed ops that fall off XLA's fast
+rank-1 paths (pool row gather 17.5 → 33.7 ns/row, pool update ~2×, stage
+bisect 2026-08-19). This module lays the B pools out as ONE ``(B·C, 16)``
+flat pool and the B frames as ONE ``(B·H·W,)`` pixel space with per-stream
+offsets, so every indexed op stays the same rank-1 fast-path op the
+single-stream pipeline uses, while elementwise stages batch naturally on
+the VPU. Per-stream semantics match :mod:`cilantro_tpu.slam.fusion`
+(test-asserted against the unbatched integrator).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.rgbd import CameraIntrinsics, _zbuffer_winner_batched
+from ..core.transforms import Transform, compose, inverse
+from ..registration.icp import ICPResult, icp_projective_packed
+from .fusion import (
+    FusionConfig,
+    FusionMap,
+    _classify_and_build_rows,
+    _valid_col,
+    pack_camera_target,
+)
+
+
+def stack_maps(maps: List[FusionMap]) -> jax.Array:
+    """B single-stream pools → one ``(B, C, W)`` batched pool."""
+    return jnp.stack([m.data for m in maps])
+
+
+def unstack_maps(data: jax.Array) -> List[FusionMap]:
+    return [FusionMap(data=data[b]) for b in range(data.shape[0])]
+
+
+def _apply_b(tf: Transform, pts: jax.Array) -> jax.Array:
+    """Batched transform apply: ``tf`` batch ``(B,)``, ``pts (B, N, 3)``."""
+    return (
+        jnp.einsum("bij,bnj->bni", tf.linear, pts)
+        + tf.translation[:, None, :]
+    )
+
+
+def _apply_normals_b(tf: Transform, nrm: jax.Array) -> jax.Array:
+    return jnp.einsum("bij,bnj->bni", tf.linear, nrm)
+
+
+def batched_seed_localize_target(
+    data: jax.Array,
+    poses: Transform,
+    intrinsics: CameraIntrinsics,
+    height: int,
+    width: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Initial ``(index maps (B, H, W), packed targets (B, H·W, 8))`` from a
+    fresh render of every stream's map at its pose (flat-batched twin of
+    :func:`..slam.fusion.seed_localize_target`)."""
+    bsz, cap, wcol = data.shape
+    cams = inverse(poses)
+    vcol = _valid_col(wcol)
+    valid = data[..., vcol] > 0.5
+    model_cam = _apply_b(cams, data[..., 0:3])
+    imap, _ = _zbuffer_winner_batched(
+        model_cam, valid, intrinsics, height, width
+    )
+    hit = imap.reshape(bsz, -1)
+    ok = hit >= 0
+    flat = data.reshape(bsz * cap, wcol)
+    offs = (jnp.arange(bsz, dtype=jnp.int32) * cap)[:, None]
+    rows = flat[jnp.where(ok, hit + offs, 0)]
+    ok &= rows[..., vcol] > 0.5
+    packed = jax.vmap(pack_camera_target)(rows, ok, cams)
+    return imap, packed
+
+
+def batched_integrate(
+    data: jax.Array,  # (B, C, W) batched pool
+    frame_points: jax.Array,  # (B, H·W, 3) organized, camera frame
+    frame_normals: jax.Array,
+    frame_colors: Optional[jax.Array],
+    frame_valid: jax.Array,
+    poses: Transform,  # batch (B,), camera-to-world per stream
+    intrinsics: CameraIntrinsics,
+    *,
+    height: int,
+    width: int,
+    cfg: FusionConfig = FusionConfig(),
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fuse / augment / carve one frame into each of B models — all indexed
+    ops rank-1 over the flattened pool/pixel spaces. Returns
+    ``(data, index_maps (B, H, W), packed_next (B, H·W, 8))``."""
+    bsz, cap, wcol = data.shape
+    npix = height * width
+    vcol = _valid_col(wcol)
+    cams = inverse(poses)
+    valid = data[..., vcol] > 0.5
+
+    # Render: ONE flat scatter-min over (B·H·W,) pixels.
+    model_cam = _apply_b(cams, data[..., 0:3])
+    imap, mdepth = _zbuffer_winner_batched(
+        model_cam, valid, intrinsics, height, width
+    )
+    imap_flat = imap.reshape(bsz, npix)
+    mdepth_flat = mdepth.reshape(bsz, npix)
+    m_ok = imap_flat >= 0
+    m_idx = jnp.where(m_ok, imap_flat, 0)
+
+    # Model rows: ONE rank-1 gather of B·H·W rows from the flat pool.
+    flat = data.reshape(bsz * cap, wcol)
+    offs = (jnp.arange(bsz, dtype=jnp.int32) * cap)[:, None]
+    mrows = jnp.where(m_ok[..., None], flat[m_idx + offs], 0.0)
+
+    # Classify + build update rows: elementwise, batches fine under vmap.
+    classify = jax.vmap(
+        lambda mr, ok, md, p, n, v, c, po, cm: _classify_and_build_rows(
+            mr, ok, md, p, n, v, c, po, cm, intrinsics, height, width, cfg
+        ),
+        in_axes=(0, 0, 0, 0, 0, 0, None if frame_colors is None else 0, 0, 0),
+    )
+    (
+        do_fuse,
+        do_augment,
+        do_carve,
+        fuse_rows,
+        aug_rows,
+        carve_row,
+    ) = classify(
+        mrows,
+        m_ok,
+        mdepth_flat,
+        frame_points,
+        frame_normals,
+        frame_valid,
+        frame_colors,
+        poses,
+        cams,
+    )
+
+    # Tail-append allocator per stream (fusion.py's default; carved slots
+    # reclaimed by host-side compaction).
+    aug_rank = jnp.cumsum(do_augment.astype(jnp.int32), axis=1) - 1
+    cap_ids = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    tail = (
+        jnp.max(jnp.where(valid, cap_ids, -1), axis=1) + 1
+    ).astype(jnp.int32)
+    aug_slot = tail[:, None] + aug_rank
+    aug_ok = do_augment & (aug_slot < cap)
+    aug_slot = jnp.clip(aug_slot, 0, cap - 1)
+
+    # ONE combined rank-1 update over the flat pool. Masked lanes take
+    # globally-distinct out-of-bounds targets (mode="drop" discards them,
+    # unique_indices stays honest across streams).
+    tgt_local = jnp.where(
+        do_fuse | do_carve, m_idx, jnp.where(aug_ok, aug_slot, cap)
+    )
+    lane = jnp.arange(bsz * npix, dtype=jnp.int32).reshape(bsz, npix)
+    tgt_g = jnp.where(
+        tgt_local < cap, tgt_local + offs, bsz * cap + lane
+    ).reshape(-1)
+    rows_out = jnp.where(
+        do_fuse[..., None],
+        fuse_rows,
+        jnp.where(do_carve[..., None], carve_row[:, None, :], aug_rows),
+    ).reshape(bsz * npix, wcol)
+
+    mode = cfg.update_mode
+    if mode == "auto":
+        mode = "inverse_gather" if cap <= 3 * npix else "row_scatter"
+    if mode == "inverse_gather":
+        pix_of_slot = (
+            jnp.full((bsz * cap,), -1, jnp.int32)
+            .at[tgt_g]
+            .set(
+                jnp.arange(bsz * npix, dtype=jnp.int32),
+                mode="drop",
+                unique_indices=True,
+            )
+        )
+        touched = pix_of_slot >= 0
+        new_flat = jnp.where(
+            touched[:, None],
+            rows_out[jnp.where(touched, pix_of_slot, 0)],
+            flat,
+        )
+    elif mode == "row_scatter":
+        new_flat = flat.at[tgt_g].set(
+            rows_out, mode="drop", unique_indices=True
+        )
+    else:
+        raise ValueError(f"unknown update_mode {cfg.update_mode!r}")
+
+    # Next localize's packed camera-frame target, from rows already in hand
+    # (same free-render warm start as the single-stream integrator).
+    post_rows = jnp.where(
+        do_fuse[..., None], fuse_rows, mrows
+    )
+    alive = m_ok & ~do_carve & (post_rows[..., vcol] > 0.5)
+    packed_next = jax.vmap(pack_camera_target)(post_rows, alive, cams)
+    return new_flat.reshape(bsz, cap, wcol), imap, packed_next
+
+
+@partial(
+    jax.jit, static_argnames=("height", "width", "cfg", "do_integrate")
+)
+def batched_fusion_step(
+    data: jax.Array,  # (B, C, W)
+    frame_points: jax.Array,  # (B, H·W, 3)
+    frame_normals: jax.Array,
+    frame_colors: Optional[jax.Array],
+    frame_valid: jax.Array,
+    pose_guess: Transform,  # batch (B,)
+    intrinsics: CameraIntrinsics,
+    cached_packed_target: jax.Array,  # (B, H·W, 8)
+    *,
+    height: int,
+    width: int,
+    cfg: FusionConfig = FusionConfig(),
+    do_integrate: bool = True,
+):
+    """One localize + integrate frame for B streams as a single program.
+
+    Localize rides the cached packed target (built at ``pose_guess`` by the
+    previous integrate), so it does no render and no pool access; the inner
+    projective-ICP while_loop is vmapped (all streams share iteration
+    count — converged streams coast, measured cheap)."""
+    s = cfg.localize_stride
+    npix = height * width
+    if s > 1:
+        rows = jnp.arange(0, height, s)
+        cols = jnp.arange(0, width, s)
+        sub = (rows[:, None] * width + cols[None, :]).reshape(-1)
+        loc_pts = frame_points[:, sub]
+        loc_nrm = frame_normals[:, sub]
+        loc_valid = frame_valid[:, sub]
+    else:
+        loc_pts, loc_nrm, loc_valid = frame_points, frame_normals, frame_valid
+
+    def loc_one(p, n, v, packed):
+        return icp_projective_packed(
+            p,
+            packed,
+            intrinsics,
+            height=height,
+            width=width,
+            src_normals=n,
+            src_valid=v,
+            metric="combined",
+            point_weight=cfg.icp_point_weight,
+            plane_weight=cfg.icp_plane_weight,
+            max_iterations=cfg.icp_iterations,
+            convergence_tol=cfg.icp_convergence_tol,
+            max_gn_iterations=cfg.icp_gn_iterations,
+            max_corr_dist_sq=cfg.icp_max_corr_dist_sq,
+        )
+
+    res: ICPResult = jax.vmap(loc_one)(
+        loc_pts, loc_nrm, loc_valid, cached_packed_target
+    )
+    poses = compose(pose_guess, res.transform)
+
+    if not do_integrate:
+        return data, poses, res, None, None
+    data, imap, packed_next = batched_integrate(
+        data,
+        frame_points,
+        frame_normals,
+        frame_colors,
+        frame_valid,
+        poses,
+        intrinsics,
+        height=height,
+        width=width,
+        cfg=cfg,
+    )
+    return data, poses, res, imap, packed_next
