@@ -276,14 +276,24 @@ def bench_estimation_clustering():
     pts = jax.device_put(np.asarray(p1, np.float32))
     key = jax.random.PRNGKey(0)
 
-    def timed(label, fn, fetch, reps=3):
+    def timed(label, fn, fetch, reps=3, cpu_ms=None):
         out = fn()
         fetch(out)
         t0 = time.perf_counter()
         for _ in range(reps):
             fetch(fn())
-        log(f"{label}: {(time.perf_counter()-t0)/reps*1e3:.1f} ms")
+        ms = (time.perf_counter() - t0) / reps * 1e3
+        vs = f" | single-core numpy {cpu_ms:.0f} ms -> {cpu_ms/ms:.1f}x" \
+            if cpu_ms else ""
+        log(f"{label}: {ms:.1f} ms{vs}")
         return out
+
+    from bench_baseline import kmeans_cpu, pca_cpu, ransac_plane_cpu
+
+    p1np = np.asarray(p1, np.float32)
+    t0 = time.perf_counter()
+    ransac_plane_cpu(p1np, 0.01, num_hypotheses=1024)
+    plane_cpu_ms = (time.perf_counter() - t0) * 1e3
 
     timed(
         "RANSAC plane 120k (1024 hypotheses)",
@@ -293,6 +303,7 @@ def bench_estimation_clustering():
             )[1].num_inliers
         ),
         lambda o: np.asarray(o),
+        cpu_ms=plane_cpu_ms,
     )
     rng = np.random.default_rng(0)
     sub = np.asarray(p1[:20000], np.float32)
@@ -318,15 +329,24 @@ def bench_estimation_clustering():
         ),
         lambda o: np.asarray(o),
     )
+    t0 = time.perf_counter()
+    kmeans_cpu(p1np, 16, iters=20)
+    kmeans_cpu_ms = (time.perf_counter() - t0) * 1e3
     timed(
         "k-means k=16 on 120k (k-means++ init)",
         jax.jit(lambda: kmeans(key, pts, 16).centroids),
         lambda o: np.asarray(o[0, 0]),
+        cpu_ms=kmeans_cpu_ms,
     )
+    t0 = time.perf_counter()
+    for _ in range(5):
+        pca_cpu(p1np)
+    pca_cpu_ms = (time.perf_counter() - t0) / 5 * 1e3
     timed(
         "PCA on 120k",
         jax.jit(lambda: fit_pca(pts).eigenvectors),
         lambda o: np.asarray(o[0, 0]),
+        cpu_ms=pca_cpu_ms,
     )
 
 
@@ -378,6 +398,23 @@ def bench_warp_field():
         f"{int(iters)} outer iters, median error {err*1e3:.2f} mm "
         f"vs ~20 mm deformation"
     )
+    # Single-core C++ denominator: same EDG pipeline (voxel nodes, kd-tree
+    # graph, block-Jacobi PCG), compiled -O3 (native/src/baseline_warp.cpp).
+    from cilantro_tpu.native import baseline_warp_native
+
+    cw = baseline_warp_native(
+        src, dst, ctrl_res=0.025, k_anchors=4, k_arcs=8, max_outer=10,
+        max_cg=200, point_weight=1.0, stiffness=50.0,
+        max_corr_dist_sq=0.0025,
+    )
+    if cw is not None:
+        w_cpp, it_cpp, nodes_cpp, ms_cpp = cw
+        err_cpp = np.median(np.linalg.norm(w_cpp - dst, axis=1))
+        log(
+            f"  C++ single-core EDG baseline: {ms_cpp/1e3:.2f} s "
+            f"({it_cpp} outer, {nodes_cpp} nodes, median "
+            f"{err_cpp*1e3:.2f} mm) -> TPU is {ms_cpp/1e3/dt:.2f}x"
+        )
 
 
 def main():

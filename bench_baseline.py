@@ -148,3 +148,59 @@ def fusion_cpu(depths, fx, fy, cx, cy, icp_iters=6, fuse_depth=0.01, occl=0.025,
     if timing:
         return poses, _time.perf_counter() - t_loop
     return poses
+
+
+# ---------------------------------------------------------------------------
+# Single-core numpy denominators for the estimation/clustering rows
+# (BASELINE config #3): the same algorithms, one CPU core, vectorized inner
+# loops (the honest "what a good numpy implementation costs" bar; the
+# algorithm-for-algorithm C++ bars live in cilantro_tpu/native/src/).
+# ---------------------------------------------------------------------------
+
+
+def ransac_plane_cpu(pts, thresh, num_hypotheses=1024, seed=0):
+    """Plane RANSAC: minimal 3-point fits, inlier counts, best plane
+    (reference ransac_hyperplane_estimator.hpp). One hypothesis per loop
+    iteration, residuals vectorized."""
+    rng = np.random.default_rng(seed)
+    n = len(pts)
+    best = (-1, None)
+    for _ in range(num_hypotheses):
+        i, j, k = rng.choice(n, 3, replace=False)
+        v1, v2 = pts[j] - pts[i], pts[k] - pts[i]
+        nrm = np.cross(v1, v2)
+        ln = np.linalg.norm(nrm)
+        if ln < 1e-12:
+            continue
+        nrm = nrm / ln
+        d = -nrm @ pts[i]
+        inl = int(np.sum(np.abs(pts @ nrm + d) < thresh))
+        if inl > best[0]:
+            best = (inl, (nrm, d))
+    return best
+
+
+def kmeans_cpu(pts, k, iters=20, seed=0):
+    """Lloyd k-means, brute-force assignment (reference kmeans.hpp:86-120),
+    random init."""
+    rng = np.random.default_rng(seed)
+    cent = pts[rng.choice(len(pts), k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((pts[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        lab = d2.argmin(1)
+        for c in range(k):
+            sel = lab == c
+            if sel.any():
+                cent[c] = pts[sel].mean(0)
+    return cent, lab
+
+
+def pca_cpu(pts):
+    """Mean + covariance + symmetric eigendecomposition (reference
+    principal_component_analysis.hpp)."""
+    mean = pts.mean(0)
+    c = pts - mean
+    cov = (c.T @ c) / max(len(pts) - 1, 1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    return mean, w[order], v[:, order]

@@ -29,7 +29,14 @@ def _build(name: str) -> Optional[str]:
     out = os.path.join(_BUILD_DIR, f"lib{name}.so")
     if not os.path.exists(src):
         return None
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    # Rebuild when the source OR any shared header in src/ is newer.
+    dep_mtime = os.path.getmtime(src)
+    for f in os.listdir(_SRC_DIR):
+        if f.endswith(".hpp"):
+            dep_mtime = max(
+                dep_mtime, os.path.getmtime(os.path.join(_SRC_DIR, f))
+            )
+    if os.path.exists(out) and os.path.getmtime(out) >= dep_mtime:
         return out
     os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = [
@@ -326,3 +333,76 @@ def baseline_fusion_native(
     if rc != 0:
         raise ValueError(f"baseline_fusion failed ({rc})")
     return out_poses, out_ms.value
+
+
+# ---------------------------------------------------------------------------
+# Non-rigid EDG warp-field baseline.
+# ---------------------------------------------------------------------------
+
+
+def _baseline_warp_lib() -> Optional[ctypes.CDLL]:
+    lib = _load("baseline_warp")
+    if lib is None:
+        return None
+    if not getattr(lib, "_configured", False):
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.baseline_warp.argtypes = [
+            fp, fp, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float,
+            fp, ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.baseline_warp.restype = ctypes.c_int
+        lib._configured = True
+    return lib
+
+
+def baseline_warp_native(
+    src: np.ndarray,
+    dst: np.ndarray,
+    *,
+    ctrl_res: float = 0.025,
+    k_anchors: int = 4,
+    k_arcs: int = 8,
+    max_outer: int = 10,
+    max_cg: int = 200,
+    point_weight: float = 1.0,
+    stiffness: float = 50.0,
+    huber_delta: float = 1e-2,
+    max_corr_dist_sq: float = 0.0025,
+    conv_tol: float = 2.5e-3,
+) -> Optional[Tuple[np.ndarray, int, int, float]]:
+    """Single-core C++ sparse (EDG) non-rigid ICP — the compiled CPU
+    denominator for the non-rigid bench row (reference algorithm
+    ``registration/warp_field_estimation.hpp:1387-1847`` via
+    ``examples/non_rigid_icp.cpp:41-84``; configuration mirrors
+    ``cilantro_tpu.registration.icp_warp_field``'s bench invocation).
+
+    Returns ``(warped_src (N, 3), outer_iterations, num_nodes,
+    milliseconds)`` — timing covers the whole pipeline (node construction,
+    graph build, every outer iteration) — or None if the toolchain is
+    unavailable.
+    """
+    lib = _baseline_warp_lib()
+    if lib is None:
+        return None
+    fp = ctypes.POINTER(ctypes.c_float)
+    s = np.ascontiguousarray(src, np.float32)
+    d = np.ascontiguousarray(dst, np.float32)
+    n = len(s)
+    out_warped = np.zeros((n, 3), np.float32)
+    out_ms = ctypes.c_double(0.0)
+    out_nodes = ctypes.c_int(0)
+    it = lib.baseline_warp(
+        s.ctypes.data_as(fp), d.ctypes.data_as(fp), n,
+        ctypes.c_float(ctrl_res), k_anchors, k_arcs, max_outer,
+        max_cg, ctypes.c_float(point_weight), ctypes.c_float(stiffness),
+        ctypes.c_float(huber_delta), ctypes.c_float(max_corr_dist_sq),
+        ctypes.c_float(conv_tol),
+        out_warped.ctypes.data_as(fp), ctypes.byref(out_ms),
+        ctypes.byref(out_nodes),
+    )
+    if it < 0:
+        raise ValueError(f"baseline_warp failed ({it})")
+    return out_warped, it, out_nodes.value, out_ms.value

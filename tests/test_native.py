@@ -199,3 +199,30 @@ def test_baseline_knn_matches_brute(rng):
     # exclude_self on a self-query.
     idx, d2, _, _ = baseline_knn_native(pts, pts, 4, exclude_self=True)
     assert not np.any(idx == np.arange(2000)[:, None])
+
+
+@needs_native
+def test_baseline_warp_recovers_deformation(rng):
+    """The single-core C++ EDG baseline recovers a smooth synthetic bend to
+    well under the deformation magnitude (the non-rigid bench denominator,
+    native/src/baseline_warp.cpp)."""
+    from cilantro_tpu.native import baseline_warp_native
+
+    n = 8000
+    src = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    src[:, 2] = 0.1 * np.sin(4.0 * src[:, 0])  # a surface, not a volume
+    dst = src.copy()
+    dst[:, 2] += 0.02 * np.sin(8.0 * src[:, 0])
+    out = baseline_warp_native(
+        src, dst, ctrl_res=0.1, max_outer=10, max_cg=100,
+        point_weight=1.0, stiffness=20.0, max_corr_dist_sq=0.01,
+    )
+    if out is None:
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    warped, iters, nodes, ms = out
+    assert nodes > 20 and iters >= 1
+    raw = np.median(np.linalg.norm(src - dst, axis=1))
+    err = np.median(np.linalg.norm(warped - dst, axis=1))
+    assert err < 0.35 * raw, (err, raw)
