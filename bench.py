@@ -55,6 +55,16 @@ def bench_fusion_tpu(depths, gt, k):
         f"({1.0/metrics.seconds_per_frame:.1f} fps), ATE {ate*1e3:.2f} mm, "
         f"{metrics.num_map_points} map points"
     )
+    from cilantro_tpu.utils.roofline import roofline
+
+    cap = int(1.4 * H * W)
+    log(roofline(
+        "fusion frame (~100 MFLOP; z-buffer + pool gather + update rows)",
+        metrics.seconds_per_frame,
+        flops=100e6,
+        bytes_moved=cap * 16 * 4 * 3 + 2 * H * W * 16 * 4,
+        rows=cap + 3 * H * W,
+    ))
     return metrics.seconds_per_frame, ate, metrics.poses
 
 
@@ -175,6 +185,15 @@ def bench_rigid_icp():
         f"exact nn1 120k vs 120k: {nn_dt*1e3:.0f} ms "
         f"({len(p1)/nn_dt/1e6:.2f} M queries/s)"
     )
+    from cilantro_tpu.utils.roofline import roofline
+
+    nm = float(len(p1)) * float(len(p2))
+    log(roofline(
+        "nn1 distance matmul (full-problem useful work)",
+        nn_dt,
+        flops=2.0 * nm * 8,  # (TQ,8)@(8,TM) augmented contraction
+        bytes_moved=(len(p1) + len(p2)) * 8 * 4 + len(p1) * 8,
+    ))
     from cilantro_tpu.native import baseline_knn_native
 
     res1 = baseline_knn_native(p2, p1, 1)
@@ -241,6 +260,13 @@ def bench_rigid_icp():
         f"exact kNN k=10 120k self: {k_dt*1e3:.0f} ms "
         f"({len(p1)/k_dt/1e6:.2f} M queries/s)"
     )
+    log(roofline(
+        "kNN distance matmul (full-problem useful work; VPU top-k folding "
+        "dominates the kernel)",
+        k_dt,
+        flops=2.0 * float(len(p1)) ** 2 * 8,
+        bytes_moved=2 * len(p1) * 8 * 4 + len(p1) * 11 * 8,
+    ))
 
     # Single-core C++ kd-tree kNN baseline for the same query.
     from cilantro_tpu.native import baseline_knn_native
@@ -332,12 +358,24 @@ def bench_estimation_clustering():
     t0 = time.perf_counter()
     kmeans_cpu(p1np, 16, iters=20)
     kmeans_cpu_ms = (time.perf_counter() - t0) * 1e3
-    timed(
+    km = timed(
         "k-means k=16 on 120k (k-means++ init)",
-        jax.jit(lambda: kmeans(key, pts, 16).centroids),
-        lambda o: np.asarray(o[0, 0]),
+        jax.jit(lambda: kmeans(key, pts, 16)),
+        lambda o: np.asarray(o.centroids[0, 0]),
         cpu_ms=kmeans_cpu_ms,
     )
+    from cilantro_tpu.utils.roofline import roofline
+
+    km_iters = max(int(np.asarray(km.iterations)), 1)
+    t0 = time.perf_counter()
+    np.asarray(jax.jit(lambda: kmeans(key, pts, 16).centroids)()[0, 0])
+    km_dt = time.perf_counter() - t0
+    log(roofline(
+        f"k-means assignment matmuls ({km_iters} Lloyd iters)",
+        km_dt,
+        flops=2.0 * len(p1) * 16 * 3 * km_iters,
+        bytes_moved=float(len(p1)) * 3 * 4 * km_iters,
+    ))
     t0 = time.perf_counter()
     for _ in range(5):
         pca_cpu(p1np)
@@ -398,6 +436,22 @@ def bench_warp_field():
         f"{int(iters)} outer iters, median error {err*1e3:.2f} mm "
         f"vs ~20 mm deformation"
     )
+    from cilantro_tpu.utils.roofline import roofline
+
+    m_cap = 1024
+    n_pts = len(src)
+    it_n = max(int(iters), 1)
+    # Per outer iteration: dense Cholesky of the (6M, 6M) system + the
+    # pair-block assembly (10 blocks/point, 36 f32 each) + the pruned NN.
+    chol_flops = ((6 * m_cap) ** 3) / 3.0
+    asm_flops = n_pts * 10 * (2 * 3 * 6 * 6)
+    log(roofline(
+        "warp direct solve (Cholesky + pair-block assembly + pruned NN)",
+        dt,
+        flops=(chol_flops + asm_flops) * it_n,
+        bytes_moved=(n_pts * 10 * 36 * 4 + (6 * m_cap) ** 2 * 4) * it_n,
+        rows=(n_pts * 10 + n_pts * 4) * it_n,
+    ))
     # Single-core C++ denominator: same EDG pipeline (voxel nodes, kd-tree
     # graph, block-Jacobi PCG), compiled -O3 (native/src/baseline_warp.cpp).
     from cilantro_tpu.native import baseline_warp_native

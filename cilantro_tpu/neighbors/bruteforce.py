@@ -216,14 +216,16 @@ def knn(
         ):
             from .pallas_nn import knn_pruned
 
+            # NOTE: tile_q/tile_m here are the FUSED kernel's defaults; the
+            # pruned kernel has its own swept-optimal tiling — forwarding
+            # these cost the public path ~70% over the bare kernel
+            # (BENCH_r02 168 ms vs 98.6 ms, reconciled round 3).
             return knn_pruned(
                 queries,
                 keys,
                 k,
                 query_valid=query_valid,
                 key_valid=key_valid,
-                tile_q=tile_q,
-                tile_m=tile_m,
                 exclude_self=exclude_self,
             )
         from .pallas_nn import knn_pallas

@@ -13,8 +13,13 @@ and the running min/top-k entirely in VMEM:
   ever leaves VMEM;
 * results are written once, on the last key chunk.
 
-HBM traffic drops to reading each cloud ~once; the kernel is MXU-throughput
-bound (~30 ms for 120k×120k on v5e). Replaces the nanoflann kd-tree
+HBM traffic drops to reading each cloud ~once. The kernel is NOT
+MXU-bound: the augmented matmul's contraction depth is 8 (``_DPAD``), so
+the MXU runs at a few % of peak by construction and the VPU min/top-k
+folding dominates (measured 167-175 ms ungated nn1 at 120k×120k on v5e ≈
+1.4 TFLOP/s ≈ 3% of f32 peak — see bench.py's roofline lines; the prune
+plans, not deeper matmuls, are what buy the next factor). Replaces the
+nanoflann kd-tree
 (``include/cilantro/core/kd_tree.hpp:146-388``) for the ICP correspondence
 hot path (``correspondence_search_kd_tree_utilities.hpp:26-43``).
 """
@@ -479,8 +484,10 @@ def _drop_self_slot(dist, idx, keep_k):
     any_self = jnp.any(is_self, axis=1)
     first_self = jnp.argmax(is_self, axis=1)
     drop = jnp.where(any_self, first_self, keep_k)
-    keep = jnp.arange(keep_k + 1)[None, :] != drop[:, None]
-    sel = jnp.argsort(~keep, axis=1, stable=True)[:, :keep_k]
+    # Slots are ascending with one position removed: output j reads slot j
+    # before the drop, slot j+1 after — a shift-select, no per-row argsort.
+    pos = jnp.arange(keep_k, dtype=jnp.int32)[None, :]
+    sel = pos + (pos >= drop[:, None]).astype(jnp.int32)
     return (
         jnp.take_along_axis(dist, sel, axis=1),
         jnp.take_along_axis(idx, sel, axis=1),
