@@ -1,0 +1,179 @@
+"""Bench-scale virtual-mesh validation (VERDICT r2 #6).
+
+Runs the sharded paths at the REAL bench shapes on the 8-virtual-device CPU
+mesh — 640×480 fusion with a 1.23M-slot pool, and the 120k-point / 837-node
+EDG warp solve — asserting agreement with the single-device results, and
+emits the per-phase collective byte counts (parsed from the compiled HLO)
+that plug into docs/design.md §6's scaling-efficiency model.
+
+Slow (minutes of CPU): skipped unless RUN_SLOW=1. The driver's regular
+suite covers the same code paths at small shapes (test_sharded_fusion.py,
+test_sharded_warp.py); this file exists to catch what only bench scale
+exposes — padding, per-shard capacity dealing, and collective volume.
+"""
+
+import os
+import re
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+slow = pytest.mark.skipif(
+    os.environ.get("RUN_SLOW", "0") != "1",
+    reason="bench-scale mesh test; set RUN_SLOW=1",
+)
+
+
+def collective_bytes(hlo_text: str) -> dict:
+    """Sum output bytes of collective ops in optimized HLO, per op kind."""
+    sizes = {"f32": 4, "f16": 2, "bf16": 2, "s32": 4, "u32": 4, "pred": 1,
+             "s8": 1, "u8": 1, "f64": 8, "s64": 8, "u64": 8}
+    out: dict = {}
+    pat = re.compile(
+        r"=\s+(?:\()?(\w+)\[([\d,]*)\][^=]*?"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
+        r"all-to-all)\(",
+    )
+    for m in pat.finditer(hlo_text):
+        dt, dims, kind = m.groups()
+        if dt not in sizes:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        out[kind] = out.get(kind, 0) + n * sizes[dt]
+    return out
+
+
+@slow
+def test_sharded_fusion_bench_scale():
+    from cilantro_tpu.core.rgbd import (
+        CameraIntrinsics, depth_to_points_normals,
+    )
+    from cilantro_tpu.core.transforms import identity
+    from cilantro_tpu.parallel.sharded import make_mesh
+    from cilantro_tpu.parallel.sharded_fusion import (
+        init_sharded_map, sharded_fusion_step,
+    )
+    from cilantro_tpu.slam import FusionConfig, synthetic_sequence
+    from cilantro_tpu.slam.fusion import fusion_step, init_map_from_frame
+
+    H, W = 480, 640
+    CAP = 4 * H * W  # 1.23M slots, the round-2 mapping capacity
+    K = CameraIntrinsics.kinect_640()
+    depths, gt = synthetic_sequence(3, H, W, K, seed=1)
+    cfg = FusionConfig(localize_stride=2)
+    mesh = make_mesh(1, 8)
+
+    pts0, nrm0, val0 = depth_to_points_normals(jnp.asarray(depths[0]), K)
+    fmap = init_map_from_frame(CAP, pts0, nrm0, None, val0)
+    sdata = init_sharded_map(mesh, CAP, pts0, nrm0, None, val0)
+
+    pose_s, pose_d = identity(3), identity(3)
+    for fi in range(1, 3):
+        pts, nrm, val = depth_to_points_normals(jnp.asarray(depths[fi]), K)
+        fmap, pose_d, _, _, _ = fusion_step(
+            fmap, pts, nrm, None, val, pose_d, K,
+            height=H, width=W, cfg=cfg,
+        )
+        sdata, pose_s, _ = sharded_fusion_step(
+            sdata, pts, nrm, None, val, pose_s, K,
+            mesh=mesh, height=H, width=W, cfg=cfg,
+        )
+    # Pose agreement at bench scale (winner tie-breaks may differ).
+    np.testing.assert_allclose(
+        np.asarray(pose_s.matrix()), np.asarray(pose_d.matrix()), atol=5e-5
+    )
+    # Same live map size (augment dealing must not lose or duplicate rows).
+    from cilantro_tpu.slam.fusion import FusionMap
+
+    n_single = int(np.asarray(FusionMap(data=fmap.data).num_points()))
+    sd = np.asarray(jax.device_get(sdata))
+    n_shard = int((sd.reshape(-1, sd.shape[-1])[:, 10] > 0.5).sum())
+    assert abs(n_shard - n_single) <= 0.001 * n_single, (n_shard, n_single)
+
+
+@slow
+def test_sharded_fusion_collective_bytes_at_bench_scale():
+    """Collective volume of one sharded fusion step at 640×480 / 1.23M pool:
+    the HLO-measured bytes that docs/design.md §6's efficiency model takes
+    as input. The dominant terms are the (H·W)-sized image psums; the pool
+    itself must NEVER be all-gathered (that would be 79 MB/frame)."""
+    from cilantro_tpu.core.rgbd import (
+        CameraIntrinsics, depth_to_points_normals,
+    )
+    from cilantro_tpu.core.transforms import identity
+    from cilantro_tpu.parallel.sharded import make_mesh
+    from cilantro_tpu.parallel.sharded_fusion import (
+        init_sharded_map, sharded_fusion_step,
+    )
+    from cilantro_tpu.slam import FusionConfig, synthetic_sequence
+    from functools import partial
+
+    H, W = 480, 640
+    CAP = 4 * H * W
+    K = CameraIntrinsics.kinect_640()
+    depths, _ = synthetic_sequence(2, H, W, K, seed=1)
+    mesh = make_mesh(1, 8)
+    cfg = FusionConfig(localize_stride=2)
+
+    pts0, nrm0, val0 = depth_to_points_normals(jnp.asarray(depths[0]), K)
+    sdata = init_sharded_map(mesh, CAP, pts0, nrm0, None, val0)
+    pts, nrm, val = depth_to_points_normals(jnp.asarray(depths[1]), K)
+
+    step = partial(
+        sharded_fusion_step, mesh=mesh, height=H, width=W, cfg=cfg,
+    )
+    lowered = jax.jit(step).lower(
+        sdata, pts, nrm, None, val, identity(3), K
+    )
+    hlo = lowered.compile().as_text()
+    per_kind = collective_bytes(hlo)
+    total = sum(per_kind.values())
+    print(f"\nsharded fusion step collectives @640x480/1.23M: "
+          f"{ {k: f'{v/1e6:.1f} MB' for k, v in per_kind.items()} } "
+          f"total {total/1e6:.1f} MB/frame")
+    # The docs model budgets ~8 image-sized collectives per frame; fail if
+    # the program regresses to pool-sized collectives.
+    pool_bytes = CAP * 16 * 4
+    assert total < pool_bytes, (total, pool_bytes)
+    assert total > 0  # collectives must exist (it IS distributed)
+
+
+@slow
+def test_sharded_warp_bench_scale():
+    from cilantro_tpu.core.containers import PointCloud
+    from cilantro_tpu.core.grid import grid_downsample
+    from cilantro_tpu.parallel.sharded import make_mesh
+    from cilantro_tpu.parallel.sharded_warp import sharded_icp_warp_field
+    from cilantro_tpu.registration import (
+        build_deformation_graph, icp_warp_field, warp_points,
+    )
+    from cilantro_tpu.utils import read_point_cloud
+
+    src, _, _ = read_point_cloud(
+        "/root/reference/examples/test_clouds/frame_1.ply"
+    )
+    dst = src.copy()
+    dst[:, 2] += 0.02 * np.sin(8.0 * src[:, 0])
+    dst[:, 1] += 0.01 * np.cos(6.0 * src[:, 0])
+    srcj, dstj = jax.device_put((src, dst))
+    ctrl = grid_downsample(PointCloud(points=srcj), 0.025, capacity=1024)
+    graph = build_deformation_graph(
+        srcj, ctrl.points, node_valid=ctrl.valid, k_anchors=4, k_arcs=8
+    )
+    mesh = make_mesh(1, 8)
+    kw = dict(
+        max_corr_dist_sq=0.0025, point_weight=1.0, plane_weight=0.0,
+        stiffness=50.0, max_iterations=3, max_cg_iterations=100,
+    )
+    tf_s, _, _ = icp_warp_field(graph, srcj, dstj, **kw)
+    tf_m, _, _ = sharded_icp_warp_field(graph, srcj, dstj, mesh=mesh, **kw)
+    w_s = np.asarray(warp_points(graph, tf_s, srcj))
+    w_m = np.asarray(warp_points(graph, tf_m, srcj))
+    err = np.median(np.linalg.norm(w_s - w_m, axis=1))
+    # Same solve up to reduction order across shards.
+    assert err < 1e-4, err
