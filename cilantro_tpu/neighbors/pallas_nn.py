@@ -639,25 +639,53 @@ def nn1_pruned_planned(
     return dist[plan.qinv], idx[plan.qinv]
 
 
-def _k_smallest(dist, payload_idx, k):
-    """k smallest per row by iterated min-extraction (``top_k`` has no Pallas
-    TPU lowering; k is small so k VPU passes are fine). Returns ascending
-    ``(vals (TQ, k), idx (TQ, k))`` where idx is taken from ``payload_idx``."""
-    big_i = jnp.int32(2**31 - 1)
-    vals, idxs = [], []
-    d = dist
-    for _ in range(k):
-        m = jnp.min(d, axis=1)
-        is_min = d == m[:, None]
-        # Winner = smallest payload index among ties (deterministic, no gather).
-        a = jnp.min(jnp.where(is_min, payload_idx, big_i), axis=1)
-        vals.append(m)
-        idxs.append(a)
-        d = jnp.where(payload_idx == a[:, None], INVALID_DIST, d)
-    return jnp.stack(vals, 1), jnp.stack(idxs, 1)
+def _fold_block_topk(dscr, bd, bi, col_offset, k: int):
+    """Fold the bound-pruned distance block in scratch ``dscr (TQ, TM)``
+    into the ascending running-best ``bd``/``bi (TQ, k)`` by argmin
+    extraction + vectorized sorted insertion.
+
+    Replaces the old double `_k_smallest` (k full-block scans to build a
+    chunk top-k, then a (TQ, 2k) merge): each extraction is ~3 block scans
+    (min, argmin, invalidate) and — the real win — passes beyond the
+    block's max bound-surviving candidate count are predicated off
+    entirely, so once the running k-th best is tight a chunk costs one
+    survivor-count scan instead of k top-k scans. Ordering contract
+    unchanged: ascending distance, ties keep the earlier (smaller) payload
+    (insertion uses strict '>', argmin takes the first minimum)."""
+    tq, tm = dscr.shape
+    cnt = jnp.max(
+        jnp.sum((dscr[:] < INVALID_DIST * 0.5).astype(jnp.int32), axis=1)
+    )
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tq, tm), 1)
+    for i in range(k):
+
+        @pl.when(i < cnt)
+        def _():
+            d = dscr[:]
+            m = jnp.min(d, axis=1)
+            # Equality-select argmin (cheaper Mosaic lowering than argmin;
+            # ties → smallest column).
+            pos = jnp.min(
+                jnp.where(d <= m[:, None], iota, jnp.int32(2**31 - 1)),
+                axis=1,
+            )
+            a = pos + col_offset
+            dscr[:] = jnp.where(iota == pos[:, None], INVALID_DIST, d)
+            bdc, bic = bd[:], bi[:]
+            ge = bdc > m[:, None]
+            ge_prev = jnp.concatenate(
+                [jnp.zeros((tq, 1), bool), ge[:, :-1]], axis=1
+            )
+            first = ge & ~ge_prev
+            prev_d = jnp.concatenate([m[:, None], bdc[:, :-1]], axis=1)
+            prev_i = jnp.concatenate([a[:, None], bic[:, :-1]], axis=1)
+            bd[:] = jnp.where(ge, jnp.where(first, m[:, None], prev_d), bdc)
+            bi[:] = jnp.where(ge, jnp.where(first, a[:, None], prev_i), bic)
 
 
-def _knn_kernel(q_ref, k_ref, out_d_ref, out_i_ref, bd, bi, *, tm: int, k: int):
+def _knn_kernel(
+    q_ref, k_ref, out_d_ref, out_i_ref, bd, bi, dscr, *, tm: int, k: int
+):
     j = pl.program_id(1)
     n_mt = pl.num_programs(1)
 
@@ -667,12 +695,9 @@ def _knn_kernel(q_ref, k_ref, out_d_ref, out_i_ref, bd, bi, *, tm: int, k: int):
         bi[:] = jnp.zeros_like(bi[:])
 
     dist = _chunk_dist(q_ref[:], k_ref[:])
-    tq = dist.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (tq, tm), 1) + j * tm
-    chunk_d, chunk_i = _k_smallest(dist, col, k)
-    cand_d = jnp.concatenate([bd[:], chunk_d], axis=1)  # (TQ, 2k)
-    cand_i = jnp.concatenate([bi[:], chunk_i], axis=1)
-    bd[:], bi[:] = _k_smallest(cand_d, cand_i, k)
+    bound = bd[:, k - 1][:, None]
+    dscr[:] = jnp.where(dist < bound, dist, INVALID_DIST)
+    _fold_block_topk(dscr, bd, bi, j * tm, k)
 
     @pl.when(j == n_mt - 1)
     def _():
@@ -681,7 +706,7 @@ def _knn_kernel(q_ref, k_ref, out_d_ref, out_i_ref, bd, bi, *, tm: int, k: int):
 
 
 def _knn_kernel_compact(
-    qt_ref, kt_ref, fl_ref, q_ref, k_ref, out_d_ref, out_i_ref, bd, bi,
+    qt_ref, kt_ref, fl_ref, q_ref, k_ref, out_d_ref, out_i_ref, bd, bi, dscr,
     *, tm: int, k: int
 ):
     """kNN analogue of :func:`_nn1_kernel_compact`: a 1-D grid over the
@@ -701,12 +726,9 @@ def _knn_kernel_compact(
     @pl.when((f & 2) != 0)
     def _():
         dist = _chunk_dist(q_ref[:], k_ref[:])
-        tq = dist.shape[0]
-        col = jax.lax.broadcasted_iota(jnp.int32, (tq, tm), 1) + kt_ref[s] * tm
-        chunk_d, chunk_i = _k_smallest(dist, col, k)
-        cand_d = jnp.concatenate([bd[:], chunk_d], axis=1)  # (TQ, 2k)
-        cand_i = jnp.concatenate([bi[:], chunk_i], axis=1)
-        bd[:], bi[:] = _k_smallest(cand_d, cand_i, k)
+        bound = bd[:, k - 1][:, None]
+        dscr[:] = jnp.where(dist < bound, dist, INVALID_DIST)
+        _fold_block_topk(dscr, bd, bi, kt_ref[s] * tm, k)
 
     out_d_ref[:] = bd[:]
     out_i_ref[:] = bi[:]
@@ -766,6 +788,7 @@ def _knn_pallas_compact(
         scratch_shapes=[
             pltpu.VMEM((tile_q, k), jnp.float32),
             pltpu.VMEM((tile_q, k), jnp.int32),
+            pltpu.VMEM((tile_q, tile_m), jnp.float32),
         ],
     )
 
@@ -830,6 +853,7 @@ def _knn_pallas_full(qp, kp, *, k, tile_q, tile_m, interpret=False):
         scratch_shapes=[
             pltpu.VMEM((tile_q, k), jnp.float32),
             pltpu.VMEM((tile_q, k), jnp.int32),
+            pltpu.VMEM((tile_q, tile_m), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
