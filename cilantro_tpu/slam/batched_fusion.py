@@ -50,6 +50,43 @@ def _apply_b(tf: Transform, pts: jax.Array) -> jax.Array:
     )
 
 
+# Wide-row gathers fall off XLA's fast path once the operand passes ~2M
+# rows (measured on v5e: 26 -> 46 ns/row between 1.7M and 3.4M rows of
+# (., 16) f32, flat_stage_bisect 2026-08-19). Gathers over the flat pool
+# are therefore issued in groups of streams whose combined operand stays
+# under the cliff; scatters and the z-buffer scatter-min keep scaling and
+# stay fully flat.
+_GATHER_ROW_CLIFF = 2_000_000
+
+
+def _grouped_wide_gather(
+    flat: jax.Array,  # (B·R, W) operand laid out as B blocks of R rows
+    idx_local: jax.Array,  # (B, Q) block-local row indices
+    rows_per_block: int,
+) -> jax.Array:
+    """``stack([flat[b·R + idx_local[b]] for b])`` with each underlying
+    gather's operand kept below the wide-gather row cliff."""
+    bsz, q = idx_local.shape
+    wcol = flat.shape[1]
+    group = max(1, _GATHER_ROW_CLIFF // max(rows_per_block, 1))
+    if bsz <= group:
+        offs = (
+            jnp.arange(bsz, dtype=jnp.int32) * rows_per_block
+        )[:, None]
+        return flat[idx_local + offs]
+    outs = []
+    for g0 in range(0, bsz, group):
+        g1 = min(g0 + group, bsz)
+        piece = jax.lax.dynamic_slice_in_dim(
+            flat, g0 * rows_per_block, (g1 - g0) * rows_per_block
+        )
+        offs = (
+            jnp.arange(g1 - g0, dtype=jnp.int32) * rows_per_block
+        )[:, None]
+        outs.append(piece[idx_local[g0:g1] + offs])
+    return jnp.concatenate(outs, axis=0).reshape(bsz, q, wcol)
+
+
 def _apply_normals_b(tf: Transform, nrm: jax.Array) -> jax.Array:
     return jnp.einsum("bij,bnj->bni", tf.linear, nrm)
 
@@ -75,8 +112,7 @@ def batched_seed_localize_target(
     hit = imap.reshape(bsz, -1)
     ok = hit >= 0
     flat = data.reshape(bsz * cap, wcol)
-    offs = (jnp.arange(bsz, dtype=jnp.int32) * cap)[:, None]
-    rows = flat[jnp.where(ok, hit + offs, 0)]
+    rows = _grouped_wide_gather(flat, jnp.where(ok, hit, 0), cap)
     ok &= rows[..., vcol] > 0.5
     packed = jax.vmap(pack_camera_target)(rows, ok, cams)
     return imap, packed
@@ -114,10 +150,13 @@ def batched_integrate(
     m_ok = imap_flat >= 0
     m_idx = jnp.where(m_ok, imap_flat, 0)
 
-    # Model rows: ONE rank-1 gather of B·H·W rows from the flat pool.
+    # Model rows: rank-1 gathers of B·H·W rows from the flat pool (grouped
+    # below the wide-gather row cliff).
     flat = data.reshape(bsz * cap, wcol)
     offs = (jnp.arange(bsz, dtype=jnp.int32) * cap)[:, None]
-    mrows = jnp.where(m_ok[..., None], flat[m_idx + offs], 0.0)
+    mrows = jnp.where(
+        m_ok[..., None], _grouped_wide_gather(flat, m_idx, cap), 0.0
+    )
 
     # Classify + build update rows: elementwise, batches fine under vmap.
     classify = jax.vmap(
@@ -186,11 +225,16 @@ def batched_integrate(
             )
         )
         touched = pix_of_slot >= 0
-        new_flat = jnp.where(
-            touched[:, None],
-            rows_out[jnp.where(touched, pix_of_slot, 0)],
-            flat,
+        # pix_of_slot is stream-structured (stream b's slots point into
+        # [b·npix, (b+1)·npix)); gather in stream groups below the cliff.
+        pix_local = jnp.where(touched, pix_of_slot, 0).reshape(
+            bsz, cap
+        ) - (jnp.arange(bsz, dtype=jnp.int32) * npix)[:, None]
+        pix_local = jnp.clip(pix_local, 0, npix - 1)
+        upd_rows = _grouped_wide_gather(rows_out, pix_local, npix).reshape(
+            bsz * cap, wcol
         )
+        new_flat = jnp.where(touched[:, None], upd_rows, flat)
     elif mode == "row_scatter":
         new_flat = flat.at[tgt_g].set(
             rows_out, mode="drop", unique_indices=True

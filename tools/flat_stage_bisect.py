@@ -17,11 +17,21 @@ HW = H * W
 
 
 def bench(fn, *args, n=3):
-    out = jax.block_until_ready(fn(*args))
+    # axon: block_until_ready returns early; reduce to a scalar and fetch.
+    def reduce_leaves(*a):
+        out = fn(*a)
+        # Sum EVERYTHING so no operand column can be sliced away pre-gather.
+        return sum(
+            jnp.sum(x.astype(jnp.float32))
+            for x in jax.tree_util.tree_leaves(out)
+        )
+
+    f = jax.jit(reduce_leaves)
+    np.asarray(f(*args))
     best = 1e9
     for _ in range(n):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*args))
+        np.asarray(f(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 
