@@ -672,11 +672,14 @@ def _fold_block_topk(dscr, bd, bi, col_offset, k: int):
             a = pos + col_offset
             dscr[:] = jnp.where(iota == pos[:, None], INVALID_DIST, d)
             bdc, bic = bd[:], bi[:]
-            ge = bdc > m[:, None]
-            ge_prev = jnp.concatenate(
-                [jnp.zeros((tq, 1), bool), ge[:, :-1]], axis=1
-            )
-            first = ge & ~ge_prev
+            # bd is ascending, so `bdc > m` is a suffix mask: derive it from
+            # the insertion position instead of comparing (a bool-vector
+            # concatenate for the shifted mask hits an invalid vreg bitcast
+            # in Mosaic for some k).
+            p_ins = jnp.sum((bdc <= m[:, None]).astype(jnp.int32), axis=1)
+            iota_k = jax.lax.broadcasted_iota(jnp.int32, bdc.shape, 1)
+            ge = iota_k >= p_ins[:, None]
+            first = iota_k == p_ins[:, None]
             prev_d = jnp.concatenate([m[:, None], bdc[:, :-1]], axis=1)
             prev_i = jnp.concatenate([a[:, None], bic[:, :-1]], axis=1)
             bd[:] = jnp.where(ge, jnp.where(first, m[:, None], prev_d), bdc)

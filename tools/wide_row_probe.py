@@ -46,7 +46,9 @@ def loop_bench(fn, *args, iters=8, n=3):
     def body(c, _):
         out = fn(*args)
         leaves = jax.tree_util.tree_leaves(out)
-        s = sum(jnp.sum(x[:8].astype(jnp.float32)) for x in leaves)
+        # Sum the FULL output: a partial slice (e.g. x[:8]) lets XLA fold
+        # the slice through the gather and skip most of the work.
+        s = sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
         return c + s, None
 
     f = jax.jit(
