@@ -47,15 +47,25 @@ def _assign(points, centroids, valid, metric="l2"):
 
     dist = _TILE_DISTS[metric](points, centroids)  # (N, K)
     lab = jnp.argmin(dist, axis=1).astype(jnp.int32)
-    d_min = jnp.take_along_axis(dist, lab[:, None], axis=1)[:, 0]
-    d_min = jnp.where(valid, d_min, -jnp.inf)
+    # d(label) == min over the row — no take_along_axis row gather needed.
+    d_min = jnp.where(valid, jnp.min(dist, axis=1), -jnp.inf)
     return lab, d_min
 
 
 def _update(points, labels, valid, k):
+    """Per-cluster sums/counts via ONE one-hot matmul on the MXU.
+
+    A ``segment_sum`` here is an N-row scatter-add (~15-30 ns/row serialized
+    per Lloyd iteration); the (N, K) one-hot contraction is a dense matmul
+    the MXU eats in microseconds and is exactly equal (0/1 weights)."""
     w = valid.astype(points.dtype)
-    sums = jax.ops.segment_sum(points * w[:, None], labels, num_segments=k)
-    counts = jax.ops.segment_sum(w, labels, num_segments=k)
+    onehot = (
+        labels[:, None] == jnp.arange(k, dtype=labels.dtype)[None, :]
+    ).astype(points.dtype) * w[:, None]
+    sums = jnp.einsum(
+        "nk,nd->kd", onehot, points, preferred_element_type=points.dtype
+    )
+    counts = jnp.sum(onehot, axis=0)
     return sums, counts
 
 
@@ -120,15 +130,20 @@ def kmeans(
         sums, counts = _update(points, labels, valid, k)
 
         # Empty-cluster repair: e-th empty cluster ← e-th farthest point.
+        # The top_k over N only runs on iterations that actually have an
+        # empty cluster (rare after the first assignment).
         empty = counts == 0
-        n_far = min(k, n)
-        _, far_idx = jax.lax.top_k(d_min, n_far)  # farthest valid points
-        empty_rank = jnp.cumsum(empty.astype(jnp.int32)) - 1  # (K,)
-        steal = points[far_idx[jnp.clip(empty_rank, 0, n_far - 1)]]
-        new_centroids = jnp.where(
-            empty[:, None],
-            steal,
-            sums / jnp.maximum(counts, 1.0)[:, None],
+        means = sums / jnp.maximum(counts, 1.0)[:, None]
+
+        def _repair(_):
+            n_far = min(k, n)
+            _, far_idx = jax.lax.top_k(d_min, n_far)  # farthest valid pts
+            empty_rank = jnp.cumsum(empty.astype(jnp.int32)) - 1  # (K,)
+            steal = points[far_idx[jnp.clip(empty_rank, 0, n_far - 1)]]
+            return jnp.where(empty[:, None], steal, means)
+
+        new_centroids = jax.lax.cond(
+            jnp.any(empty), _repair, lambda _: means, operand=None
         )
         shift = jnp.max(jnp.sum((new_centroids - centroids) ** 2, axis=1))
         return new_centroids, labels, it + 1, shift

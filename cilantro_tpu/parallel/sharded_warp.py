@@ -55,6 +55,11 @@ def _replicate_sort_caches(g: DeformationGraph) -> DeformationGraph:
         arc_j_order=jnp.arange(a, dtype=jnp.int32),
         arc_j_sorted=g.arc_j,
         caches_sorted=False,
+        # Pair-assembly caches are global-sort artifacts; the sharded CG
+        # solver never runs the direct assembler, so drop them.
+        pair_order=None,
+        pair_seg_ids=None,
+        pair_uniq_keys=None,
     )
 
 

@@ -77,6 +77,16 @@ class DeformationGraph:
     caches_sorted: bool = dataclasses.field(
         default=True, metadata={"static": True}
     )
+    # Direct-solver pair-block assembly caches (host-precomputed when the
+    # graph is built from concrete arrays; None when traced or sharded).
+    # The anchor-pair/arc block keys are STATIC per graph, so the unordered
+    # scatter-add of ~N·K(K+1)/2 rows (measured 188 ms/GN at bench scale —
+    # ~150 ns/row serialized) is replaced by one static-permutation gather +
+    # SORTED segment_sum into the ~U occupied node pairs + one unique sorted
+    # expand (measured 71 ms; probe tools/pairblock_probe.py).
+    pair_order: Optional[jax.Array] = None  # (R,) permutation
+    pair_seg_ids: Optional[jax.Array] = None  # (R,) ascending run ids
+    pair_uniq_keys: Optional[jax.Array] = None  # (U_pad,) keys, m·m = pad
 
     @property
     def num_nodes(self) -> int:
@@ -162,16 +172,72 @@ def build_deformation_graph(
     )
 
 
+_ASSEMBLY_CHUNK = 4096  # direct-assembly scan chunk (shared with caches)
+
+
+def _pair_assembly_caches(g: DeformationGraph):
+    """Host-side static pair-block sort caches (see the dataclass fields).
+    Returns ``(order, seg_ids, uniq_keys_padded)`` or ``None`` when the
+    graph arrays are traced (can't be concretized) or the node count is too
+    large for the dense direct solver anyway."""
+    import numpy as np
+
+    m = g.num_nodes
+    if m > 2048:  # direct solver never runs (and m·m would not fit int32)
+        return None
+    try:
+        anchors = np.asarray(g.anchors)
+        arc_i = np.asarray(g.arc_i, np.int64)
+        arc_j = np.asarray(g.arc_j, np.int64)
+    except Exception:  # traced build (e.g. inside jit) — fall back
+        return None
+    n, K = anchors.shape
+    kk, ll = np.triu_indices(K)  # same order as the assembly double loop
+    chunk = _ASSEMBLY_CHUNK
+    n_pad = max(1, -(-n // chunk)) * chunk
+    a_pad = np.zeros((n_pad, K), np.int64)
+    a_pad[:n] = anchors
+    an, bn = a_pad[:, kk], a_pad[:, ll]
+    pair_keys = (np.minimum(an, bn) * m + np.maximum(an, bn)).reshape(-1)
+    arc_keys = np.concatenate(
+        [
+            arc_i * m + arc_i,
+            arc_j * m + arc_j,
+            np.minimum(arc_i, arc_j) * m + np.maximum(arc_i, arc_j),
+        ]
+    )
+    keys = np.concatenate([pair_keys, arc_keys])
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    new_run = np.empty(len(sk), bool)
+    new_run[0] = True
+    new_run[1:] = sk[1:] != sk[:-1]
+    seg = np.cumsum(new_run) - 1
+    uniq = sk[new_run]
+    u_pad = max(8, -(-len(uniq) // 8) * 8)
+    uniq_p = np.full(u_pad, m * m, np.int64)
+    uniq_p[: len(uniq)] = uniq
+    return (
+        jnp.asarray(order.astype(np.int32)),
+        jnp.asarray(seg.astype(np.int32)),
+        jnp.asarray(uniq_p.astype(np.int32)),
+    )
+
+
 def _with_sort_caches(g: DeformationGraph) -> DeformationGraph:
     flat = g.anchors.reshape(-1)
     order = jnp.argsort(flat)
     jorder = jnp.argsort(g.arc_j)
+    pair = _pair_assembly_caches(g)
     return dataclasses.replace(
         g,
         anchor_order=order.astype(jnp.int32),
         anchor_sorted_ids=flat[order],
         arc_j_order=jorder.astype(jnp.int32),
         arc_j_sorted=g.arc_j[jorder],
+        pair_order=pair[0] if pair else None,
+        pair_seg_ids=pair[1] if pair else None,
+        pair_uniq_keys=pair[2] if pair else None,
     )
 
 
@@ -448,7 +514,7 @@ def estimate_warp_field(
             # so per-chunk blocks are built and scatter-added inside a scan.
             p_par = n_lin + d
             pp = p_par * p_par
-            chunk = 4096
+            chunk = _ASSEMBLY_CHUNK
             n_chunks = max(1, -(-n // chunk))
             n_pad = n_chunks * chunk
             kk, ll = [], []
@@ -483,7 +549,9 @@ def estimate_warp_field(
                 _chunked(nrm_src),
             )
 
-            def chunk_fn(acc, args):
+            def chunk_blocks(args):
+                """Oriented, half-diagonal pair blocks for one chunk:
+                returns ``(pair (C·T, pp), keys (C·T,))``."""
                 y_k, wa_k, an_k, wpp_k, wpl_k, nrm_k = args
                 bw = wa_k[..., None, None] * _row_blocks(y_k)  # (C,K,D,P)
                 bk, bl = bw[:, kk], bw[:, ll]  # (C,T,D,P), T=K(K+1)/2
@@ -508,12 +576,7 @@ def estimate_warp_field(
                 keys = (
                     jnp.minimum(a_n, b_n) * m + jnp.maximum(a_n, b_n)
                 ).reshape(-1)
-                acc = acc.at[keys].add(pair.reshape(-1, pp))
-                return acc, jnp.int32(0)
-
-            acc, _ = jax.lax.scan(
-                chunk_fn, jnp.zeros((m * m, pp), rhs.dtype), chunk_args
-            )
+                return pair.reshape(-1, pp), keys
 
             # Arcs follow the same one-block-per-unordered-pair scheme.
             sa = (stiffness * w_arc)[:, None, None]
@@ -533,15 +596,63 @@ def estimate_warp_field(
                     off.reshape(-1, pp),
                 ]
             )
-            arc_keys = jnp.concatenate(
-                [
-                    graph.arc_i * m + graph.arc_i,
-                    graph.arc_j * m + graph.arc_j,
-                    jnp.minimum(graph.arc_i, graph.arc_j) * m
-                    + jnp.maximum(graph.arc_i, graph.arc_j),
-                ]
+            n_arc_rows = 3 * graph.arc_i.shape[0]
+            have_pair_caches = (
+                graph.pair_order is not None
+                and graph.pair_order.shape[0]
+                == n_pad * len(kk) + n_arc_rows
             )
-            acc = acc.at[arc_keys].add(arc_vals)
+            if have_pair_caches:
+                # Static-key path: the scan only STACKS block values; the
+                # duplicate-key reduction rides the precomputed sort as one
+                # gather + SORTED segment_sum into the occupied node pairs,
+                # then a unique sorted expand (2.7× the scatter's speed at
+                # bench scale — tools/pairblock_probe.py).
+                def chunk_fn(_, args):
+                    pair, _keys = chunk_blocks(args)
+                    return jnp.int32(0), pair
+
+                _, pair_stacked = jax.lax.scan(
+                    chunk_fn, jnp.int32(0), chunk_args
+                )
+                vals = jnp.concatenate(
+                    [pair_stacked.reshape(-1, pp), arc_vals]
+                )
+                compact = jax.ops.segment_sum(
+                    vals[graph.pair_order],
+                    graph.pair_seg_ids,
+                    num_segments=graph.pair_uniq_keys.shape[0],
+                    indices_are_sorted=True,
+                )
+                acc = (
+                    jnp.zeros((m * m, pp), rhs.dtype)
+                    .at[graph.pair_uniq_keys]
+                    .set(
+                        compact,
+                        mode="drop",
+                        indices_are_sorted=True,
+                        unique_indices=True,
+                    )
+                )
+            else:
+                # Fallback (traced graph build / sharded identity caches):
+                # unordered scatter-add per chunk.
+                def chunk_fn(acc, args):
+                    pair, keys = chunk_blocks(args)
+                    return acc.at[keys].add(pair), jnp.int32(0)
+
+                acc, _ = jax.lax.scan(
+                    chunk_fn, jnp.zeros((m * m, pp), rhs.dtype), chunk_args
+                )
+                arc_keys = jnp.concatenate(
+                    [
+                        graph.arc_i * m + graph.arc_i,
+                        graph.arc_j * m + graph.arc_j,
+                        jnp.minimum(graph.arc_i, graph.arc_j) * m
+                        + jnp.maximum(graph.arc_i, graph.arc_j),
+                    ]
+                )
+                acc = acc.at[arc_keys].add(arc_vals)
 
             # (M, M, P, P) → (M·P, M·P) via P lane-friendly slices (a naive
             # transpose materializes a (…, M, P) layout that pads P→128).
