@@ -686,8 +686,21 @@ def _fold_block_topk(dscr, bd, bi, col_offset, k: int):
             bi[:] = jnp.where(ge, jnp.where(first, a[:, None], prev_i), bic)
 
 
+def _diag_mask(dist, row_off, col_off):
+    """Mask the global diagonal (query position == key position) of a
+    distance block whose rows start at ``row_off`` and columns at
+    ``col_off`` — in-kernel self-exclusion for same-cloud searches (one VPU
+    compare per block, replacing the k+1 search + postlude gathers the
+    wrappers used to pay)."""
+    tq, tm = dist.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tq, tm), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tq, tm), 1)
+    return jnp.where(cols == rows + (row_off - col_off), INVALID_DIST, dist)
+
+
 def _knn_kernel(
-    q_ref, k_ref, out_d_ref, out_i_ref, bd, bi, dscr, *, tm: int, k: int
+    q_ref, k_ref, out_d_ref, out_i_ref, bd, bi, dscr, *, tq: int, tm: int,
+    k: int, exclude_diag: bool
 ):
     j = pl.program_id(1)
     n_mt = pl.num_programs(1)
@@ -698,6 +711,8 @@ def _knn_kernel(
         bi[:] = jnp.zeros_like(bi[:])
 
     dist = _chunk_dist(q_ref[:], k_ref[:])
+    if exclude_diag:
+        dist = _diag_mask(dist, pl.program_id(0) * tq, j * tm)
     bound = bd[:, k - 1][:, None]
     dscr[:] = jnp.where(dist < bound, dist, INVALID_DIST)
     _fold_block_topk(dscr, bd, bi, j * tm, k)
@@ -710,7 +725,7 @@ def _knn_kernel(
 
 def _knn_kernel_compact(
     qt_ref, kt_ref, fl_ref, q_ref, k_ref, out_d_ref, out_i_ref, bd, bi, dscr,
-    *, tm: int, k: int
+    *, tq: int, tm: int, k: int, exclude_diag: bool
 ):
     """kNN analogue of :func:`_nn1_kernel_compact`: a 1-D grid over the
     surviving (query tile, key chunk) pairs, k-slot running best in VMEM
@@ -729,6 +744,8 @@ def _knn_kernel_compact(
     @pl.when((f & 2) != 0)
     def _():
         dist = _chunk_dist(q_ref[:], k_ref[:])
+        if exclude_diag:
+            dist = _diag_mask(dist, qt_ref[s] * tq, kt_ref[s] * tm)
         bound = bd[:, k - 1][:, None]
         dscr[:] = jnp.where(dist < bound, dist, INVALID_DIST)
         _fold_block_topk(dscr, bd, bi, kt_ref[s] * tm, k)
@@ -738,7 +755,10 @@ def _knn_kernel_compact(
 
 
 @partial(
-    jax.jit, static_argnames=("k", "budget", "tile_q", "tile_m", "interpret")
+    jax.jit,
+    static_argnames=(
+        "k", "budget", "tile_q", "tile_m", "exclude_diag", "interpret"
+    ),
 )
 def _knn_pallas_compact(
     qp: jax.Array,  # (Qp, 8) augmented, tile_q-padded
@@ -749,6 +769,7 @@ def _knn_pallas_compact(
     budget: int,
     tile_q: int,
     tile_m: int,
+    exclude_diag: bool = False,
     interpret: bool = False,
 ):
     """Compacted-pair kNN; falls back to the full-grid kernel when more than
@@ -798,7 +819,10 @@ def _knn_pallas_compact(
     def compact_path(args):
         qt_, kt_, fl_ = args
         d, i = pl.pallas_call(
-            partial(_knn_kernel_compact, tm=tile_m, k=k),
+            partial(
+                _knn_kernel_compact, tq=tile_q, tm=tile_m, k=k,
+                exclude_diag=exclude_diag,
+            ),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((n_qt * tile_q, k), jnp.float32),
@@ -814,7 +838,8 @@ def _knn_pallas_compact(
     def full_path(args):
         del args
         return _knn_pallas_full(
-            qp, kp, k=k, tile_q=tile_q, tile_m=tile_m, interpret=interpret
+            qp, kp, k=k, tile_q=tile_q, tile_m=tile_m,
+            exclude_diag=exclude_diag, interpret=interpret,
         )
 
     return jax.lax.cond(
@@ -823,15 +848,20 @@ def _knn_pallas_compact(
 
 
 @partial(
-    jax.jit, static_argnames=("k", "tile_q", "tile_m", "interpret")
+    jax.jit,
+    static_argnames=("k", "tile_q", "tile_m", "exclude_diag", "interpret"),
 )
-def _knn_pallas_full(qp, kp, *, k, tile_q, tile_m, interpret=False):
+def _knn_pallas_full(
+    qp, kp, *, k, tile_q, tile_m, exclude_diag=False, interpret=False
+):
     """Full-grid kNN over pre-augmented tiles (the `knn_pallas` inner call,
     reusable as the compact path's overflow fallback)."""
     n_qt = qp.shape[0] // tile_q
     n_mt = kp.shape[0] // tile_m
     dist, idx = pl.pallas_call(
-        partial(_knn_kernel, tm=tile_m, k=k),
+        partial(
+            _knn_kernel, tq=tile_q, tm=tile_m, k=k, exclude_diag=exclude_diag
+        ),
         grid=(n_qt, n_mt),
         in_specs=[
             pl.BlockSpec(
@@ -880,8 +910,8 @@ def knn_pruned(
     query_valid: Optional[jax.Array] = None,
     key_valid: Optional[jax.Array] = None,
     init_radius: Optional[float] = None,
-    tile_q: int = 512,
-    tile_m: int = 1024,
+    tile_q: int = 256,
+    tile_m: int = 2048,
     exclude_self: bool = False,
     max_rounds: int = 6,
     interpret: bool = False,
@@ -902,16 +932,12 @@ def knn_pruned(
     """
     from .gridhash import _aabb_dist2
 
-    if exclude_self:
-        dist, idx = knn_pruned(
-            queries, keys, k + 1,
-            query_valid=query_valid, key_valid=key_valid,
-            init_radius=init_radius, tile_q=tile_q, tile_m=tile_m,
-            max_rounds=max_rounds, interpret=interpret,
-        )
-        dist, idx, _, _ = _drop_self_slot(dist, idx, k)
-        return dist, idx
-
+    # exclude_self contract (same as the reference's same-cloud searches):
+    # queries and keys are POSITIONALLY the same cloud. Both Morton sorts
+    # then produce the identical permutation, so "self" is the sorted-space
+    # diagonal — masked inside the kernel (one VPU compare per block)
+    # instead of the old k+1 search + _drop_self_slot postlude, whose two
+    # (Q, k) take_along_axis gathers cost ~20 ms at 120k on chip.
     qn = queries.shape[0]
     mn = keys.shape[0]
     k_eff = min(k, mn)
@@ -969,7 +995,8 @@ def knn_pruned(
         )
         d_new, i_new = _knn_pallas_compact(
             qp, kp, mask, k=k_eff, budget=budget,
-            tile_q=tile_q, tile_m=tile_m, interpret=interpret,
+            tile_q=tile_q, tile_m=tile_m, exclude_diag=exclude_self,
+            interpret=interpret,
         )
         kth = d_new[:, k_eff - 1]
         # Tiles whose surviving row covered EVERY occupied chunk are exact
@@ -1009,7 +1036,7 @@ def knn_pruned(
         dist, idx = args
         d_f, i_f = _knn_pallas_full(
             qp, kp, k=k_eff, tile_q=tile_q, tile_m=tile_m,
-            interpret=interpret,
+            exclude_diag=exclude_self, interpret=interpret,
         )
         unres = ~resolved
         return (
@@ -1161,29 +1188,16 @@ def knn_pallas(
     515 ms at the old 256/1024); large L2 3-D problems should instead go
     through :func:`knn_pruned` (98.6 ms on the same workload).
 
-    ``exclude_self`` searches k+1 and drops the first self match per query
-    (same-cloud queries), as the reference does.
+    ``exclude_self`` masks the diagonal inside the kernel (queries and keys
+    positionally the same cloud), as the reference's same-cloud searches do.
     """
-    if exclude_self:
-        dist, idx = knn_pallas(
-            queries,
-            keys,
-            k + 1,
-            query_valid=query_valid,
-            key_valid=key_valid,
-            tile_q=tile_q,
-            tile_m=tile_m,
-            interpret=interpret,
-        )
-        dist, idx, _, _ = _drop_self_slot(dist, idx, k)
-        return dist, idx
-
     qn = queries.shape[0]
     mn = keys.shape[0]
     k_eff = min(k, mn)
     qp, kp = _augment(queries, keys, key_valid, tile_q, tile_m)
     dist, idx = _knn_pallas_full(
-        qp, kp, k=k_eff, tile_q=tile_q, tile_m=tile_m, interpret=interpret
+        qp, kp, k=k_eff, tile_q=tile_q, tile_m=tile_m,
+        exclude_diag=exclude_self, interpret=interpret,
     )
     dist = jnp.maximum(dist[:qn], 0.0)
     dist = jnp.where(dist >= INVALID_DIST * 0.5, INVALID_DIST, dist)

@@ -1,0 +1,325 @@
+"""Bounded-flow splat kernels — the TPU-native frame-to-model re-association.
+
+The classic fusion pipeline (``slam/fusion.py``, after
+``/root/reference/examples/fusion.cpp:148-238``) re-associates the model to
+the new camera every frame with a z-buffer scatter-min over the POOL and a
+per-pixel row gather — both per-row-latency-bound XLA indexed ops
+(~10-40 ns/row; they are the measured wall of the whole pipeline, see
+``tools/flat_stage_bisect.py``).  For tracked RGBD sequences the association
+is however almost the identity: between consecutive frames every visible
+surfel moves at most a few pixels (measured ≤3 px at the bench trajectory,
+``tools/``-probe 2026-08-20).  These kernels exploit that bound:
+
+* the model's visible set lives as an IMAGE of surfel rows (one row per
+  pixel per layer), not as an unordered pool;
+* re-association under a new pose is a *bounded-window* argmin: each output
+  pixel takes the closest (smallest new-depth) of the ≤ ``L·(2R+1)²``
+  surfels whose projected target lands on it — a dense VPU stencil over
+  VMEM-resident bands, no scatter and no gather;
+* winner/runner-up ROWS are reconstructed by the same bounded-window
+  select, reading each HBM byte exactly once per band (+halo).
+
+Kernels (all grid = ``(B, H/band)``, manual halo DMA per band):
+
+- :func:`splat_argmin2` — per output pixel, the best and second-best
+  ``(key, code)`` over all in-window candidates.  ``code`` encodes
+  (offset, layer) and uniquely identifies the source pixel given the
+  target.
+- :func:`flow_select_rows` — given the per-pixel winning ``code``,
+  rebuild the winner's full C-channel row image.
+- :func:`window_read_codes` — source-aligned readback: each source pixel
+  reads the (best, second) codes at its own target pixel, so placement
+  ("did my surfel survive?") is a dense compare.
+
+Padding convention: callers pad the last two dims by ``R`` on each side
+(key=+inf, code/off=-1, rows=0) and pass ``(..., H+2R, W+2R)`` arrays; H
+must divide into ``band`` rows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BAND = 16  # output rows per grid step
+
+
+def _auto_interpret(interpret: Optional[bool]) -> bool:
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+def offset_code(du: jax.Array, dv: jax.Array, radius: int) -> jax.Array:
+    """Pack an in-window pixel offset into one comparand int (else -1)."""
+    w2 = 2 * radius + 1
+    ok = (
+        (du >= -radius) & (du <= radius) & (dv >= -radius) & (dv <= radius)
+    )
+    return jnp.where(ok, (dv + radius) * w2 + (du + radius), -1).astype(
+        jnp.int32
+    )
+
+
+def pad_hw(x: jax.Array, radius: int, fill) -> jax.Array:
+    """Pad the last two dims by ``radius`` with ``fill``."""
+    widths = [(0, 0)] * (x.ndim - 2) + [(radius, radius)] * 2
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+def _argmin2_kernel(
+    key_hbm, off_hbm, bk_ref, bc_ref, sk_ref, sc_ref, sk_key, sk_off, sem,
+    *, radius, layers, band, height, width
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    r = radius
+    w2 = 2 * r + 1
+    cps = [
+        pltpu.make_async_copy(
+            key_hbm.at[b, :, pl.ds(i * band, band + 2 * r), :],
+            sk_key,
+            sem.at[0],
+        ),
+        pltpu.make_async_copy(
+            off_hbm.at[b, :, pl.ds(i * band, band + 2 * r), :],
+            sk_off,
+            sem.at[1],
+        ),
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    inf = jnp.float32(jnp.inf)
+    best_k = jnp.full((band, width), inf, jnp.float32)
+    best_c = jnp.full((band, width), -1, jnp.int32)
+    sec_k = jnp.full((band, width), inf, jnp.float32)
+    sec_c = jnp.full((band, width), -1, jnp.int32)
+    for l in range(layers):
+        for a in range(-r, r + 1):
+            for bb in range(-r, r + 1):
+                oc = (a + r) * w2 + (bb + r)
+                code = oc * layers + l
+                ys, xs = r - a, r - bb
+                k_s = sk_key[l, ys : ys + band, xs : xs + width]
+                o_s = sk_off[l, ys : ys + band, xs : xs + width]
+                cand = jnp.where(o_s == oc, k_s, inf)
+                lt_best = cand < best_k
+                lt_sec = cand < sec_k
+                sec_k = jnp.where(
+                    lt_best, best_k, jnp.where(lt_sec, cand, sec_k)
+                )
+                sec_c = jnp.where(
+                    lt_best, best_c, jnp.where(lt_sec, code, sec_c)
+                )
+                best_k = jnp.where(lt_best, cand, best_k)
+                best_c = jnp.where(lt_best, code, best_c)
+    bk_ref[0] = best_k
+    bc_ref[0] = best_c
+    sk_ref[0] = sec_k
+    sc_ref[0] = sec_c
+
+
+@partial(jax.jit, static_argnames=("radius", "interpret"))
+def splat_argmin2(
+    key: jax.Array,  # (B, L, H+2R, W+2R) f32, +inf invalid/pad
+    off: jax.Array,  # (B, L, H+2R, W+2R) i32 offset code, -1 invalid/pad
+    *,
+    radius: int,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Best/second (key, code) per output pixel. Deterministic ties: the
+    first candidate in (layer, dv, du) loop order wins on equal keys."""
+    interpret = _auto_interpret(interpret)
+    bsz, layers, hp, wp = key.shape
+    r = radius
+    h, w = hp - 2 * r, wp - 2 * r
+    band = _BAND
+    assert h % band == 0, (h, band)
+    grid = (bsz, h // band)
+    out_spec = pl.BlockSpec((1, band, w), lambda b, i: (b, i, 0))
+    shape = jax.ShapeDtypeStruct((bsz, h, w), jnp.float32)
+    ishape = jax.ShapeDtypeStruct((bsz, h, w), jnp.int32)
+    return pl.pallas_call(
+        partial(
+            _argmin2_kernel,
+            radius=r,
+            layers=layers,
+            band=band,
+            height=h,
+            width=w,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=(out_spec, out_spec, out_spec, out_spec),
+            scratch_shapes=[
+                pltpu.VMEM((layers, band + 2 * r, wp), jnp.float32),
+                pltpu.VMEM((layers, band + 2 * r, wp), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=(shape, ishape, shape, ishape),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(key, off)
+
+
+def _select_rows_kernel(
+    code_ref, rows_hbm, out_ref, sk_rows, sem,
+    *, radius, layers, chans, band, width
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    r = radius
+    w2 = 2 * r + 1
+    cp = pltpu.make_async_copy(
+        rows_hbm.at[b, :, :, pl.ds(i * band, band + 2 * r), :],
+        sk_rows,
+        sem,
+    )
+    cp.start()
+    out_ref[...] = jnp.zeros_like(out_ref)
+    cp.wait()
+    code = code_ref[0]
+    for l in range(layers):
+        for a in range(-r, r + 1):
+            for bb in range(-r, r + 1):
+                cconst = ((a + r) * w2 + (bb + r)) * layers + l
+                mask = code == cconst
+                ys, xs = r - a, r - bb
+                for c in range(chans):
+                    row_s = sk_rows[
+                        l, c, ys : ys + band, xs : xs + width
+                    ]
+                    out_ref[0, c] = jnp.where(mask, row_s, out_ref[0, c])
+
+
+@partial(jax.jit, static_argnames=("radius", "interpret"))
+def flow_select_rows(
+    rows: jax.Array,  # (B, L, C, H+2R, W+2R) f32, 0 pad
+    code: jax.Array,  # (B, H, W) i32 winning code per output pixel (-1 none)
+    *,
+    radius: int,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Rebuild the selected row image: out[., :, y, x] = rows of the source
+    pixel encoded by ``code[., y, x]`` (zeros where code == -1)."""
+    interpret = _auto_interpret(interpret)
+    bsz, layers, chans, hp, wp = rows.shape
+    r = radius
+    h, w = hp - 2 * r, wp - 2 * r
+    band = _BAND
+    assert h % band == 0
+    return pl.pallas_call(
+        partial(
+            _select_rows_kernel,
+            radius=r,
+            layers=layers,
+            chans=chans,
+            band=band,
+            width=w,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(bsz, h // band),
+            in_specs=[
+                pl.BlockSpec((1, band, w), lambda b, i: (b, i, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, chans, band, w), lambda b, i: (b, 0, i, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (layers, chans, band + 2 * r, wp), jnp.float32
+                ),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, chans, h, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(code, rows)
+
+
+def _window_read_kernel(
+    off_ref, img_hbm, out_ref, sk_img, sem, *, radius, chans, band, width
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    r = radius
+    w2 = 2 * r + 1
+    cp = pltpu.make_async_copy(
+        img_hbm.at[b, :, pl.ds(i * band, band + 2 * r), :], sk_img, sem
+    )
+    cp.start()
+    out_ref[...] = jnp.full_like(out_ref, -1)
+    cp.wait()
+    off = off_ref[0]
+    for a in range(-r, r + 1):
+        for bb in range(-r, r + 1):
+            oc = (a + r) * w2 + (bb + r)
+            mask = off == oc
+            ys, xs = r + a, r + bb
+            for c in range(chans):
+                img_s = sk_img[c, ys : ys + band, xs : xs + width]
+                out_ref[0, c] = jnp.where(mask, img_s, out_ref[0, c])
+
+
+@partial(jax.jit, static_argnames=("radius", "interpret"))
+def window_read_codes(
+    img: jax.Array,  # (B, C, H+2R, W+2R) i32 target-aligned, -1 pad
+    off: jax.Array,  # (B, H, W) i32 per-SOURCE offset code (-1 = none)
+    *,
+    radius: int,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Source-aligned window read: out[., c, p] = img[., c, p + d(p)] with
+    d decoded from ``off`` (-1 where off is -1)."""
+    interpret = _auto_interpret(interpret)
+    bsz, chans, hp, wp = img.shape
+    r = radius
+    h, w = hp - 2 * r, wp - 2 * r
+    band = _BAND
+    assert h % band == 0
+    return pl.pallas_call(
+        partial(
+            _window_read_kernel, radius=r, chans=chans, band=band, width=w
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(bsz, h // band),
+            in_specs=[
+                pl.BlockSpec((1, band, w), lambda b, i: (b, i, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, chans, band, w), lambda b, i: (b, 0, i, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((chans, band + 2 * r, wp), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, chans, h, w), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(off, img)
