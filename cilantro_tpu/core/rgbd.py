@@ -26,6 +26,7 @@ import dataclasses
 from functools import partial
 from typing import Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -46,8 +47,15 @@ class CameraIntrinsics:
 
     @staticmethod
     def make(fx, fy, cx, cy) -> "CameraIntrinsics":
+        # Host numpy scalars, not device arrays: intrinsics are consumed both
+        # by jitted code (converted at trace time, same as device scalars)
+        # and by host-side generators/baselines — keeping them on the host
+        # means constructing intrinsics never forces first device contact
+        # (over a remote-tunnel backend that contact has been observed to
+        # cost minutes, which round 3's bench paid inside the data
+        # *generator* of all places).
         return CameraIntrinsics(
-            jnp.float32(fx), jnp.float32(fy), jnp.float32(cx), jnp.float32(cy)
+            np.float32(fx), np.float32(fy), np.float32(cx), np.float32(cy)
         )
 
     @staticmethod

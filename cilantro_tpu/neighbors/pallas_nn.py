@@ -933,13 +933,21 @@ def knn_pruned(
     from .gridhash import _aabb_dist2
 
     # exclude_self contract (same as the reference's same-cloud searches):
-    # queries and keys are POSITIONALLY the same cloud. Both Morton sorts
-    # then produce the identical permutation, so "self" is the sorted-space
-    # diagonal — masked inside the kernel (one VPU compare per block)
-    # instead of the old k+1 search + _drop_self_slot postlude, whose two
-    # (Q, k) take_along_axis gathers cost ~20 ms at 120k on chip.
+    # queries and keys are POSITIONALLY the same cloud. "Self" is then the
+    # sorted-space diagonal — masked inside the kernel (one VPU compare per
+    # block) instead of the old k+1 search + _drop_self_slot postlude, whose
+    # two (Q, k) take_along_axis gathers cost ~20 ms at 120k on chip. When
+    # query_valid and key_valid are DIFFERENT masks the two Morton sorts
+    # would diverge (invalid points sort last) and the diagonal would no
+    # longer be self — ADVICE r3 #1 measured 254/300 self-returns there —
+    # so that case shares ONE permutation for both sides below.
     qn = queries.shape[0]
     mn = keys.shape[0]
+    if exclude_self and qn != mn:
+        raise ValueError(
+            "exclude_self requires queries and keys to be the same cloud "
+            f"(got {qn} queries vs {mn} keys)"
+        )
     k_eff = min(k, mn)
     qv = jnp.ones(qn, bool) if query_valid is None else query_valid
     kv = jnp.ones(mn, bool) if key_valid is None else key_valid
@@ -961,8 +969,19 @@ def knn_pruned(
     origin = jnp.minimum(
         jnp.min(jnp.where(qv[:, None], queries, big), axis=0), kext_min
     )
-    qperm, qs, qvs = _morton_sort(queries, qv, origin, r0)
-    kperm, ks, kvs = _morton_sort(keys, kv, origin, r0)
+    if exclude_self and query_valid is not key_valid:
+        # Mismatched (or one-sided) validity masks: one SHARED permutation,
+        # sorted by the union validity, keeps sorted row i == sorted key i
+        # == the same original point, so the kernel's diagonal mask stays
+        # exactly the self-pairs. Costs only AABB tightness (a side's
+        # invalid points no longer compact to the tail).
+        perm, _, _ = _morton_sort(queries, qv | kv, origin, r0)
+        qperm = kperm = perm
+        qs, ks = queries[perm], keys[perm]
+        qvs, kvs = qv[perm], kv[perm]
+    else:
+        qperm, qs, qvs = _morton_sort(queries, qv, origin, r0)
+        kperm, ks, kvs = _morton_sort(keys, kv, origin, r0)
 
     qmin, qmax, q_occ = _tile_aabbs(qs, qvs, tile_q)
     kmin, kmax, k_occ = _tile_aabbs(ks, kvs, tile_m)

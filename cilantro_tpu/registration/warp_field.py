@@ -215,7 +215,10 @@ def _pair_assembly_caches(g: DeformationGraph):
     seg = np.cumsum(new_run) - 1
     uniq = sk[new_run]
     u_pad = max(8, -(-len(uniq) // 8) * 8)
-    uniq_p = np.full(u_pad, m * m, np.int64)
+    # DISTINCT out-of-bounds pad keys: the expand scatter consuming these
+    # passes unique_indices=True, and duplicated indices under that hint are
+    # documented-undefined in JAX even with mode='drop' (ADVICE r3).
+    uniq_p = m * m + np.arange(u_pad, dtype=np.int64)
     uniq_p[: len(uniq)] = uniq
     return (
         jnp.asarray(order.astype(np.int32)),

@@ -35,3 +35,23 @@ from .pipeline import (  # noqa: F401
     make_pipeline_mesh,
     run_fusion_sequence_pipelined,
 )
+from .splat_fusion import (  # noqa: F401
+    SplatConfig,
+    SplatMap,
+    extract_cloud,
+    init_splat_map,
+    run_splat_sequence,
+    run_splat_sequence_scanned,
+    splat_fusion_step,
+    splat_integrate,
+    splat_localize,
+)
+from .batched_fusion import (  # noqa: F401
+    BatchedFusionMetrics,
+    batched_fusion_step,
+    batched_integrate,
+    batched_seed_localize_target,
+    run_batched_fusion_sequences,
+    stack_maps,
+    unstack_maps,
+)

@@ -15,6 +15,7 @@ the VPU. Per-stream semantics match :mod:`cilantro_tpu.slam.fusion`
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -326,3 +327,95 @@ def batched_fusion_step(
         cfg=cfg,
     )
     return data, poses, res, imap, packed_next
+
+
+@dataclasses.dataclass
+class BatchedFusionMetrics:
+    poses: "np.ndarray"  # (B, F, 4, 4) per-stream trajectories
+    streams: int
+    frames: int
+    seconds_per_step: float  # one step advances ALL B streams one frame
+    aggregate_fps: float  # B / seconds_per_step
+    num_map_points: "np.ndarray"  # (B,)
+
+
+def run_batched_fusion_sequences(
+    depth_stacks,  # (B, F, H, W) array-like, metric depth
+    intrinsics: CameraIntrinsics,
+    *,
+    map_capacity: Optional[int] = None,
+    cfg: FusionConfig = FusionConfig(),
+) -> Tuple[jax.Array, BatchedFusionMetrics]:
+    """B independent fusion streams, whole sequences, ONE jitted scan.
+
+    The aggregate-throughput twin of
+    :func:`cilantro_tpu.slam.driver.run_fusion_sequence_scanned`: each scan
+    step advances every stream one frame through the flat-pool batched
+    localize+integrate, so per-chip throughput is ``B / seconds_per_step``
+    frames/s. Warm-runs once (compile), then times a second run. Returns the
+    final ``(B, C, 16)`` pool stack and per-stream metrics.
+    """
+    import time as _time
+
+    import numpy as np
+
+    from ..core.rgbd import depth_to_points_normals
+    from ..core.transforms import identity
+    from .fusion import init_map_from_frame
+
+    stacks = np.asarray(depth_stacks, np.float32)
+    bsz, nf, h, w = stacks.shape
+    if map_capacity is None:
+        map_capacity = 4 * h * w
+
+    d0 = jnp.asarray(stacks[:, 0])
+
+    def init_one(d):
+        p, n, v = depth_to_points_normals(d, intrinsics)
+        return init_map_from_frame(map_capacity, p, n, None, v).data
+
+    data0 = jax.jit(jax.vmap(init_one))(d0)
+    rest = jnp.asarray(stacks[:, 1:].transpose(1, 0, 2, 3))  # (F-1, B, H, W)
+
+    @jax.jit
+    def run(data0, rest):
+        pose0 = identity(3, batch_shape=(bsz,))
+        imap0, packed0 = batched_seed_localize_target(
+            data0, pose0, intrinsics, h, w
+        )
+
+        def step(carry, depth_b):
+            data, poses, packed = carry
+            p, n, v = jax.vmap(
+                lambda d: depth_to_points_normals(d, intrinsics)
+            )(depth_b)
+            data, poses, res, _, packed = batched_fusion_step(
+                data, p, n, None, v, poses, intrinsics, packed,
+                height=h, width=w, cfg=cfg,
+            )
+            return (data, poses, packed), poses.matrix()
+
+        del imap0  # localize rides the packed target; imap unused here
+        (data, _, _), mats = jax.lax.scan(step, (data0, pose0, packed0), rest)
+        return data, mats
+
+    data, mats = run(data0, rest)
+    np.asarray(mats[-1, 0])  # drain compile + first run
+    t0 = _time.perf_counter()
+    data, mats = run(data0, rest)
+    np.asarray(mats[-1, 0])
+    per_step = (_time.perf_counter() - t0) / max(nf - 1, 1)
+
+    mats_np = np.asarray(mats)  # (F-1, B, 4, 4)
+    eye = np.broadcast_to(np.eye(4, dtype=np.float32), (bsz, 1, 4, 4))
+    poses = np.concatenate([eye, mats_np.transpose(1, 0, 2, 3)], axis=1)
+    vcol = _valid_col(data.shape[-1])
+    n_pts = np.asarray(jnp.sum(data[..., vcol] > 0.5, axis=1))
+    return data, BatchedFusionMetrics(
+        poses=poses,
+        streams=bsz,
+        frames=nf,
+        seconds_per_step=per_step,
+        aggregate_fps=bsz / per_step,
+        num_map_points=n_pts,
+    )

@@ -208,14 +208,38 @@ def synthetic_sequence(
     *,
     seed: int = 0,
     motion_scale: float = 0.004,
+    cache_dir: Optional[str] = None,
 ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """Render a wavy-room depth sequence from a smoothly moving camera.
 
     Returns (depth frames, ground-truth camera-to-world 4×4 poses). The
     scene is a dense height-field point set rendered through a numpy
-    z-buffer — data generation stays on the host so benchmarks measure the
-    pipeline, not the renderer, and no device compile is spent on it.
+    z-buffer — data generation stays entirely on the host (no device
+    contact) so benchmarks measure the pipeline, not the renderer.
+
+    ``cache_dir``: if given, the rendered stack is memoized to
+    ``{cache_dir}/seq_{frames}x{h}x{w}_s{seed}_m{motion}.npz`` and later
+    calls with the same key load instead of re-rendering (bench runs under a
+    wall budget must not spend it re-rendering identical input).
     """
+    cache_path = None
+    if cache_dir is not None:
+        import os as _os
+
+        _os.makedirs(cache_dir, exist_ok=True)
+        cache_path = _os.path.join(
+            cache_dir,
+            f"seq_{num_frames}x{h}x{w}_s{seed}_m{motion_scale:g}.npz",
+        )
+        if _os.path.exists(cache_path):
+            try:
+                with np.load(cache_path) as z:
+                    return (
+                        [d for d in z["depths"]],
+                        [p for p in z["poses"]],
+                    )
+            except Exception:
+                pass  # corrupt cache: fall through and re-render
     rng = np.random.default_rng(seed)
     fx = float(np.asarray(intrinsics.fx))
     fy = float(np.asarray(intrinsics.fy))
@@ -280,6 +304,13 @@ def synthetic_sequence(
         ang += rng.standard_normal() * motion_scale
         vel = 0.9 * vel + rng.standard_normal(3) * motion_scale * 0.5
         pos = pos + vel
+    if cache_path is not None:
+        import os as _os
+
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as f:  # savez on a file object keeps the name
+            np.savez(f, depths=np.stack(depths), poses=np.stack(poses))
+        _os.replace(tmp, cache_path)
     return depths, poses
 
 

@@ -72,6 +72,21 @@ def pad_hw(x: jax.Array, radius: int, fill) -> jax.Array:
     return jnp.pad(x, widths, constant_values=fill)
 
 
+def _pad_lanes(x: jax.Array, fill) -> jax.Array:
+    """Right-pad the last dim to a multiple of 128: Mosaic rejects HBM→VMEM
+    band copies whose lane extent is not tile-aligned ('Slice shape along
+    dimension 3 must be aligned to tiling (128)', ADVICE r3 #2 — a 640×480
+    frame with radius 4 + margin 16 gives wp=680 and crashed on real
+    hardware while interpret mode passed). The pad carries the kernel's
+    invalid fill so padded lanes can never win an election; wrappers slice
+    outputs back to the caller's width."""
+    extra = (-x.shape[-1]) % 128
+    if not extra:
+        return x
+    widths = [(0, 0)] * (x.ndim - 1) + [(0, extra)]
+    return jnp.pad(x, widths, constant_values=fill)
+
+
 def _argmin2_kernel(
     key_hbm, off_hbm, bk_ref, bc_ref, sk_ref, sc_ref, sk_key, sk_off, sem,
     *, radius, layers, band, height, width
@@ -138,6 +153,9 @@ def splat_argmin2(
     """Best/second (key, code) per output pixel. Deterministic ties: the
     first candidate in (layer, dv, du) loop order wins on equal keys."""
     interpret = _auto_interpret(interpret)
+    w_out = key.shape[-1] - 2 * radius
+    key = _pad_lanes(key, jnp.inf)
+    off = _pad_lanes(off, -1)
     bsz, layers, hp, wp = key.shape
     r = radius
     h, w = hp - 2 * r, wp - 2 * r
@@ -147,7 +165,7 @@ def splat_argmin2(
     out_spec = pl.BlockSpec((1, band, w), lambda b, i: (b, i, 0))
     shape = jax.ShapeDtypeStruct((bsz, h, w), jnp.float32)
     ishape = jax.ShapeDtypeStruct((bsz, h, w), jnp.int32)
-    return pl.pallas_call(
+    bk, bc, sk, sc = pl.pallas_call(
         partial(
             _argmin2_kernel,
             radius=r,
@@ -160,8 +178,8 @@ def splat_argmin2(
             num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=(out_spec, out_spec, out_spec, out_spec),
             scratch_shapes=[
@@ -176,6 +194,9 @@ def splat_argmin2(
         ),
         interpret=interpret,
     )(key, off)
+    return (
+        bk[..., :w_out], bc[..., :w_out], sk[..., :w_out], sc[..., :w_out]
+    )
 
 
 def _select_rows_kernel(
@@ -219,12 +240,20 @@ def flow_select_rows(
     """Rebuild the selected row image: out[., :, y, x] = rows of the source
     pixel encoded by ``code[., y, x]`` (zeros where code == -1)."""
     interpret = _auto_interpret(interpret)
+    w_out = rows.shape[-1] - 2 * radius
+    rows = _pad_lanes(rows, 0.0)
     bsz, layers, chans, hp, wp = rows.shape
     r = radius
     h, w = hp - 2 * r, wp - 2 * r
     band = _BAND
     assert h % band == 0
-    return pl.pallas_call(
+    if w > w_out:  # keep the code image in step with the padded lanes
+        code = jnp.pad(
+            code,
+            [(0, 0)] * (code.ndim - 1) + [(0, w - w_out)],
+            constant_values=-1,
+        )
+    out = pl.pallas_call(
         partial(
             _select_rows_kernel,
             radius=r,
@@ -238,7 +267,7 @@ def flow_select_rows(
             grid=(bsz, h // band),
             in_specs=[
                 pl.BlockSpec((1, band, w), lambda b, i: (b, i, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (1, chans, band, w), lambda b, i: (b, 0, i, 0)
@@ -256,6 +285,7 @@ def flow_select_rows(
         ),
         interpret=interpret,
     )(code, rows)
+    return out[..., :w_out]
 
 
 def _window_read_kernel(
@@ -293,12 +323,20 @@ def window_read_codes(
     """Source-aligned window read: out[., c, p] = img[., c, p + d(p)] with
     d decoded from ``off`` (-1 where off is -1)."""
     interpret = _auto_interpret(interpret)
+    w_out = img.shape[-1] - 2 * radius
+    img = _pad_lanes(img, -1)
     bsz, chans, hp, wp = img.shape
     r = radius
     h, w = hp - 2 * r, wp - 2 * r
     band = _BAND
     assert h % band == 0
-    return pl.pallas_call(
+    if w > w_out:
+        off = jnp.pad(
+            off,
+            [(0, 0)] * (off.ndim - 1) + [(0, w - w_out)],
+            constant_values=-1,
+        )
+    out = pl.pallas_call(
         partial(
             _window_read_kernel, radius=r, chans=chans, band=band, width=w
         ),
@@ -307,7 +345,7 @@ def window_read_codes(
             grid=(bsz, h // band),
             in_specs=[
                 pl.BlockSpec((1, band, w), lambda b, i: (b, i, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (1, chans, band, w), lambda b, i: (b, 0, i, 0)
@@ -323,3 +361,4 @@ def window_read_codes(
         ),
         interpret=interpret,
     )(off, img)
+    return out[..., :w_out]

@@ -472,11 +472,14 @@ def run_splat_sequence_scanned(
         return jax.lax.scan(step, (smap0, identity(3)), depth_stack)
 
     (smap, _), mats = run(smap0, depth_stack)
-    jax.block_until_ready(mats)
-    t0 = time.perf_counter()
-    (smap, _), mats = run(smap0, depth_stack)
-    mats_h = np.asarray(mats)
-    t1 = time.perf_counter()
-    sec_per_frame = (t1 - t0) / depth_stack.shape[0]
+    np.asarray(mats)  # hard drain: block_until_ready returns early on the
+    # remote-tunnel backend and a queued first run would poison the timing
+    best = float("inf")
+    for _ in range(2):  # best-of-2 guards against transient tunnel stalls
+        t0 = time.perf_counter()
+        (smap, _), mats = run(smap0, depth_stack)
+        mats_h = np.asarray(mats)
+        best = min(best, time.perf_counter() - t0)
+    sec_per_frame = best / depth_stack.shape[0]
     poses = [np.eye(4, dtype=np.float32)] + [m for m in mats_h]
     return smap, poses, sec_per_frame

@@ -277,6 +277,51 @@ def test_knn_pruned_exclude_self(rng):
     assert np.all(np.asarray(dk) > 0)
 
 
+def test_knn_pruned_exclude_self_mismatched_masks(rng):
+    """exclude_self with query_valid != key_valid (ADVICE r3 #1: divergent
+    Morton permutations silently returned 254/300 self-matches): the shared
+    permutation must keep results exact and self-free."""
+    import jax.numpy as jnp
+
+    from cilantro_tpu.neighbors.pallas_nn import INVALID_DIST, knn_pruned
+
+    n, k = 300, 4
+    pts = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    qv = rng.random(n) < 0.7
+    kv = rng.random(n) < 0.6
+    qv[:5] = True  # a few guaranteed-live queries
+    kv[:5] = True
+    dk, ik = knn_pruned(
+        jnp.asarray(pts), jnp.asarray(pts), k,
+        query_valid=jnp.asarray(qv), key_valid=jnp.asarray(kv),
+        exclude_self=True, tile_q=128, tile_m=128, interpret=True,
+    )
+    dk, ik = np.asarray(dk), np.asarray(ik)
+    d2 = np.sum((pts[:, None] - pts[None, :]) ** 2, -1)
+    d2[:, ~kv] = np.inf
+    np.fill_diagonal(d2, np.inf)  # self excluded
+    ref = np.sort(d2, axis=1)[:, :k]
+    for i in np.flatnonzero(qv):
+        hit = dk[i] < INVALID_DIST * 0.5
+        want = ref[i][np.isfinite(ref[i])]
+        assert hit.sum() == len(want), f"query {i}: count"
+        np.testing.assert_allclose(dk[i][hit], want, rtol=1e-5, atol=1e-7)
+        assert not np.any(ik[i][hit] == i), f"query {i}: self returned"
+        assert kv[ik[i][hit]].all(), f"query {i}: invalid key returned"
+
+
+def test_knn_pruned_exclude_self_shape_mismatch_raises():
+    import jax.numpy as jnp
+    import pytest
+
+    from cilantro_tpu.neighbors.pallas_nn import knn_pruned
+
+    a = jnp.zeros((128, 3))
+    b = jnp.zeros((256, 3))
+    with pytest.raises(ValueError, match="exclude_self"):
+        knn_pruned(a, b, 3, exclude_self=True, interpret=True)
+
+
 def test_radius_search_pruned_matches_brute(rng):
     import jax.numpy as jnp
 
