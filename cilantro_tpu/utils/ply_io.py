@@ -7,8 +7,8 @@ host I/O, not a TPU hot path; a C++ fast path for huge files lives in
 ``cilantro_tpu/native`` (optional).
 
 Supports ``format ascii 1.0``, ``format binary_little_endian 1.0`` and
-``format binary_big_endian 1.0`` (tinyply reads both endiannesses; the writer
-emits little-endian or ascii, as the reference's does).
+``format binary_big_endian 1.0`` in BOTH directions (tinyply reads and
+writes either byte order; pass ``big_endian=True`` to the writer).
 """
 
 from __future__ import annotations
@@ -173,13 +173,17 @@ def write_point_cloud(
     normals: Optional[np.ndarray] = None,
     colors: Optional[np.ndarray] = None,
     binary: bool = True,
+    big_endian: bool = False,
 ) -> None:
-    """Write a point cloud PLY (reference ``PointCloud::toPLYFile``)."""
+    """Write a point cloud PLY (reference ``PointCloud::toPLYFile``).
+    ``big_endian`` selects ``binary_big_endian`` output (tinyply can emit
+    either byte order; ignored for ascii)."""
     points = np.asarray(points, np.float32)
     n = len(points)
-    fields = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+    e = ">" if (binary and big_endian) else "<"
+    fields = [("x", e + "f4"), ("y", e + "f4"), ("z", e + "f4")]
     if normals is not None:
-        fields += [("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4")]
+        fields += [("nx", e + "f4"), ("ny", e + "f4"), ("nz", e + "f4")]
     if colors is not None:
         fields += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
     rec = np.zeros(n, np.dtype(fields))
@@ -193,11 +197,14 @@ def write_point_cloud(
             colors = np.clip(colors * 255.0 + 0.5, 0, 255).astype(np.uint8)
         rec["red"], rec["green"], rec["blue"] = colors.T
 
-    header = ["ply",
-              "format binary_little_endian 1.0" if binary else "format ascii 1.0",
-              f"element vertex {n}"]
+    fmt = (
+        "ascii" if not binary
+        else "binary_big_endian" if big_endian
+        else "binary_little_endian"
+    )
+    header = ["ply", f"format {fmt} 1.0", f"element vertex {n}"]
     for name, t in fields:
-        header.append(f"property {_INV_DTYPES[t.lstrip('<')]} {name}")
+        header.append(f"property {_INV_DTYPES[t.lstrip('<>')]} {name}")
     header.append("end_header\n")
     with open(path, "wb") as f:
         f.write("\n".join(header).encode("ascii"))
