@@ -25,3 +25,9 @@ from .warp_field import (  # noqa: F401
     resample_transforms,
     warp_points,
 )
+from .warp_field_batched import (  # noqa: F401
+    estimate_warp_field_batched,
+    icp_warp_field_batched,
+    identity_warp_batched,
+    warp_points_batched,
+)

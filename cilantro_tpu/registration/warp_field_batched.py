@@ -1,0 +1,473 @@
+"""Batched non-rigid warp-field solves — B targets against ONE shared EDG.
+
+The reference solves one warp field per call (OpenMP inside one solve,
+``warp_field_estimation.hpp:1387-1847``). The single-solve TPU port is
+latency-bound: ~148 ns/row over ~1.7M indexed rows per outer iteration
+(anchor gathers, pair-block permutation gather, segment sums), and a chip
+cannot issue indexed rows faster — measured 2.48 s/solve vs 1.69-2.09 s for
+one CPU core (BASELINE.md). This module is the TPU-honest answer for the
+serving shape of the workload (one deformable template tracked against B
+observed frames — the DynamicFusion-style batch): every graph-indexed op's
+*indices* (anchors, arcs, precomputed pair-block runs) are SHARED across
+streams, so B solves ride the SAME rank-1 gathers/segment-sums with B×
+wider value rows. Indexed ops price ROWS, not bytes — the B-fold extra
+work travels free until rows hit HBM bandwidth — and the per-stream dense
+normal systems batch onto the MXU as one ``(B, 6M, 6M)`` Cholesky.
+
+Scope (asserted): rigid 3-D nodes, the direct dense solver, a graph built
+from concrete arrays (host-precomputed pair caches). That is exactly the
+EDG bench configuration; other configurations take B independent
+:func:`..registration.icp_warp_field` calls.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.transforms import (
+    Transform,
+    axis_angle_to_rotation,
+    project_to_rotation,
+    skew3,
+)
+from .warp_field import (
+    _ASSEMBLY_CHUNK,
+    DeformationGraph,
+    _huber_weights,
+)
+
+
+def identity_warp_batched(bsz: int, num_nodes: int) -> Transform:
+    return Transform(
+        jnp.broadcast_to(jnp.eye(3), (bsz, num_nodes, 3, 3)),
+        jnp.zeros((bsz, num_nodes, 3)),
+    )
+
+
+def _nodes_wide(node_tf: Transform):
+    """(B, M, …) per-node transforms → node-leading wide rows
+    ``lin (M, B·9)``, ``tr (M, B·3)`` so every graph gather is one rank-1
+    gather of wide rows."""
+    bsz, m = node_tf.translation.shape[:2]
+    lin = node_tf.linear.transpose(1, 0, 2, 3).reshape(m, bsz * 9)
+    tr = node_tf.translation.transpose(1, 0, 2).reshape(m, bsz * 3)
+    return lin, tr
+
+
+def warp_points_batched(
+    graph: DeformationGraph, node_tf: Transform, points: jax.Array
+) -> jax.Array:
+    """(B, M) transforms applied to the SHARED source points → (N, B, 3)
+    (batch axis after the point axis: that is the layout every downstream
+    consumer wants, and it keeps the anchor gather rank-1)."""
+    bsz, m = node_tf.translation.shape[:2]
+    n, k = graph.anchors.shape
+    lin_w, tr_w = _nodes_wide(node_tf)
+    lin_a = lin_w[graph.anchors].reshape(n, k, bsz, 3, 3)
+    tr_a = tr_w[graph.anchors].reshape(n, k, bsz, 3)
+    y = jnp.einsum("nkbij,nj->nkbi", lin_a, points) + tr_a
+    return jnp.einsum("nk,nkbi->nbi", graph.anchor_weights, y)
+
+
+def _row_blocks_rigid(pts: jax.Array) -> jax.Array:
+    """B = [−[pts]× | I] with shape (..., 3, 6)."""
+    eye = jnp.broadcast_to(
+        jnp.eye(3, dtype=pts.dtype), pts.shape[:-1] + (3, 3)
+    )
+    return jnp.concatenate([-skew3(pts), eye], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("max_gn_iterations",))
+def estimate_warp_field_batched(
+    graph: DeformationGraph,
+    src_points: jax.Array,  # (N, 3) shared source
+    dst_points: jax.Array,  # (N, B, 3) per-stream gathered targets
+    dst_normals: Optional[jax.Array],  # (N, B, 3) or None
+    corr_weights: jax.Array,  # (N, B), 0 = no correspondence
+    *,
+    init: Optional[Transform] = None,  # batched (B, M, …)
+    point_weight: float = 0.0,
+    plane_weight: float = 1.0,
+    stiffness: float = 200.0,
+    huber_delta: float = 1e-2,
+    max_gn_iterations: int = 1,
+    levenberg: float = 1e-6,
+) -> Tuple[Transform, jax.Array]:
+    """One-to-B twin of :func:`..registration.estimate_warp_field`
+    (rigid 3-D, direct solver). Returns ``(node transforms (B, M, …),
+    max per-stream GN update (B,))``.
+
+    Per GN iteration: shared-index anchor/arc gathers with (B·…)-wide rows,
+    ONE pair-block assembly pass over the precomputed sorted runs, and a
+    batched (B, 6M, 6M) Cholesky on the MXU.
+    """
+    assert graph.pair_order is not None, (
+        "estimate_warp_field_batched needs the host-precomputed pair "
+        "caches (build the graph from concrete arrays)"
+    )
+    m = graph.num_nodes
+    n, d = src_points.shape
+    assert d == 3
+    bsz = corr_weights.shape[1]
+    k_anch = graph.anchors.shape[1]
+    node_tf = (
+        init if init is not None else identity_warp_batched(bsz, m)
+    )
+    w_pp = corr_weights * point_weight  # (N, B)
+    w_pl = corr_weights * plane_weight
+    p_par = 6
+    pp = 36
+
+    # Static anchor-pair index lists (upper triangle, assembly loop order).
+    kk, ll = [], []
+    for _k in range(k_anch):
+        for _l in range(_k, k_anch):
+            kk.append(_k)
+            ll.append(_l)
+    kk = jnp.array(kk, jnp.int32)
+    ll = jnp.array(ll, jnp.int32)
+    half_diag = jnp.where(kk == ll, 0.5, 1.0)[:, None, None, None]
+    chunk = _ASSEMBLY_CHUNK
+    n_chunks = max(1, -(-n // chunk))
+    n_pad = n_chunks * chunk
+
+    def _padc(a, fill=0.0):
+        widths = ((0, n_pad - n),) + ((0, 0),) * (a.ndim - 1)
+        return jnp.pad(a, widths, constant_values=fill)
+
+    def _chunked(a, fill=0.0):
+        return _padc(a, fill).reshape((n_chunks, chunk) + a.shape[1:])
+
+    nrm_t = (
+        dst_normals
+        if dst_normals is not None
+        else jnp.zeros((n, bsz, d), src_points.dtype)
+    )
+
+    def gn_body(it, carry):
+        node_tf, _ = carry
+        lin_w, tr_w = _nodes_wide(node_tf)
+        lin_a = lin_w[graph.anchors].reshape(n, k_anch, bsz, 3, 3)
+        tr_a = tr_w[graph.anchors].reshape(n, k_anch, bsz, 3)
+        y = jnp.einsum("nkbij,nj->nkbi", lin_a, src_points) + tr_a
+        wa = graph.anchor_weights  # (N, K) shared
+        x = jnp.einsum("nk,nkbi->nbi", wa, y)
+
+        # Arc geometry (A small: ~8·M rows).
+        cl = graph.node_positions[graph.arc_j]  # (A, 3)
+        li = lin_w[graph.arc_i].reshape(-1, bsz, 3, 3)
+        ti = tr_w[graph.arc_i].reshape(-1, bsz, 3)
+        lj = lin_w[graph.arc_j].reshape(-1, bsz, 3, 3)
+        tj = tr_w[graph.arc_j].reshape(-1, bsz, 3)
+        y_jl = jnp.einsum("abij,aj->abi", li, cl) + ti  # (A, B, 3)
+        y_ll = jnp.einsum("abij,aj->abi", lj, cl) + tj
+        r_arc0 = y_jl - y_ll
+        h = _huber_weights(jnp.linalg.norm(r_arc0, axis=-1), huber_delta)
+        w_arc = (
+            graph.arc_mask
+            * graph.node_valid[graph.arc_i]
+            * graph.node_valid[graph.arc_j]
+        )[:, None] * h  # (A, B)
+
+        r_pp0 = x - dst_points  # (N, B, 3)
+        r_pl0 = jnp.einsum("nbi,nbi->nb", nrm_t, r_pp0)
+
+        # rhs = −Jᵀ r: data rows through ONE shared segment reduction.
+        g = w_pp[..., None] * r_pp0 + (w_pl * r_pl0)[..., None] * nrm_t
+        gk = wa[:, :, None, None] * g[:, None]  # (N, K, B, 3)
+        gw = jnp.cross(y, gk)  # ∂/∂ω rows
+        rows = jnp.concatenate([gw, gk], axis=-1)  # (N, K, B, 6)
+        acc = graph.segment_over_anchors(
+            rows.reshape(n, k_anch, bsz * p_par)
+        )  # (M, B·6)
+        ga = (stiffness * w_arc)[..., None] * r_arc0  # (A, B, 3)
+        rows_i = jnp.concatenate([jnp.cross(y_jl, ga), ga], -1)
+        rows_j = jnp.concatenate([-jnp.cross(y_ll, ga), -ga], -1)
+        acc = acc + jax.ops.segment_sum(
+            rows_i.reshape(-1, bsz * p_par), graph.arc_i,
+            num_segments=m, indices_are_sorted=True,
+        )
+        acc = acc + graph.segment_over_arc_j(
+            rows_j.reshape(-1, bsz * p_par)
+        )
+        rhs = -acc.reshape(m, bsz, p_par)  # (M, B, 6)
+
+        # --- pair-block assembly over the shared precomputed runs ---
+        chunk_args = (
+            _chunked(y),
+            _chunked(wa),
+            _chunked(w_pp),
+            _chunked(w_pl),
+            _chunked(nrm_t),
+            _chunked(graph.anchors, 0),
+        )
+
+        def chunk_blocks(args):
+            y_k, wa_k, wpp_k, wpl_k, nrm_k, an_k = args
+            bw = wa_k[:, :, None, None, None] * _row_blocks_rigid(y_k)
+            bk, bl = bw[:, kk], bw[:, ll]  # (C, T, B, 3, 6)
+            pair = wpp_k[:, None, :, None, None] * jnp.einsum(
+                "ntbdp,ntbdq->ntbpq", bk, bl
+            )
+            bn = jnp.einsum("nbd,nkbdp->nkbp", nrm_k, bw)
+            pair = pair + wpl_k[:, None, :, None, None] * jnp.einsum(
+                "ntbp,ntbq->ntbpq", bn[:, kk], bn[:, ll]
+            )
+            pair = pair * half_diag
+            a_n, b_n = an_k[:, kk], an_k[:, ll]  # (C, T) shared indices
+            swap = a_n > b_n
+            pair = jnp.where(
+                swap[:, :, None, None, None],
+                jnp.swapaxes(pair, -1, -2),
+                pair,
+            )
+            return pair.reshape(-1, bsz * pp)
+
+        def chunk_fn(_, args):
+            return jnp.int32(0), chunk_blocks(args)
+
+        _, pair_stacked = jax.lax.scan(chunk_fn, jnp.int32(0), chunk_args)
+
+        sa = (stiffness * w_arc)[..., None, None]  # (A, B, 1, 1)
+        b_i = _row_blocks_rigid(y_jl)  # (A, B, 3, 6)
+        b_j = -_row_blocks_rigid(y_ll)
+        off = sa * jnp.einsum("abdp,abdq->abpq", b_i, b_j)
+        a_swap = graph.arc_i > graph.arc_j
+        off = jnp.where(
+            a_swap[:, None, None, None], jnp.swapaxes(off, -1, -2), off
+        )
+        arc_vals = jnp.concatenate(
+            [
+                (0.5 * sa * jnp.einsum("abdp,abdq->abpq", b_i, b_i))
+                .reshape(-1, bsz * pp),
+                (0.5 * sa * jnp.einsum("abdp,abdq->abpq", b_j, b_j))
+                .reshape(-1, bsz * pp),
+                off.reshape(-1, bsz * pp),
+            ]
+        )
+        vals = jnp.concatenate(
+            [pair_stacked.reshape(-1, bsz * pp), arc_vals]
+        )
+        compact = jax.ops.segment_sum(
+            vals[graph.pair_order],
+            graph.pair_seg_ids,
+            num_segments=graph.pair_uniq_keys.shape[0],
+            indices_are_sorted=True,
+        )
+        acc_pairs = (
+            jnp.zeros((m * m, bsz * pp), rhs.dtype)
+            .at[graph.pair_uniq_keys]
+            .set(
+                compact,
+                mode="drop",
+                indices_are_sorted=True,
+                unique_indices=True,
+            )
+        )
+
+        # (M, M, B, P, P) → (B, M·P, M·P), P lane-friendly slices per q.
+        acc5 = acc_pairs.reshape(m, m, bsz, p_par, p_par)
+        h_mat = jnp.stack(
+            [
+                acc5[:, :, :, q, :].transpose(2, 0, 1, 3).reshape(
+                    bsz, m, m * p_par
+                )
+                for q in range(p_par)
+            ],
+            axis=2,
+        ).reshape(bsz, m * p_par, m * p_par)
+        h_mat = h_mat + jnp.swapaxes(h_mat, -1, -2)
+        diag = (levenberg + 1e-8) + jnp.where(graph.node_valid, 0.0, 1.0)
+        h_mat = h_mat + jnp.diag(
+            jnp.repeat(diag, p_par, total_repeat_length=m * p_par)
+        )[None]
+        chol = jnp.linalg.cholesky(h_mat)
+        delta = jax.vmap(
+            lambda c, r: jax.scipy.linalg.cho_solve((c, True), r)
+        )(chol, rhs.transpose(1, 0, 2).reshape(bsz, m * p_par)).reshape(
+            bsz, m, p_par
+        )
+
+        dw, dt = delta[..., :3], delta[..., 3:]
+        lin_inc = axis_angle_to_rotation(dw.reshape(-1, 3)).reshape(
+            bsz, m, 3, 3
+        )
+        new_lin = jnp.einsum("bmij,bmjk->bmik", lin_inc, node_tf.linear)
+        new_tr = (
+            jnp.einsum("bmij,bmj->bmi", lin_inc, node_tf.translation) + dt
+        )
+        new_tf = Transform(
+            project_to_rotation(new_lin.reshape(-1, 3, 3)).reshape(
+                bsz, m, 3, 3
+            ),
+            new_tr,
+        )
+        upd = jnp.max(
+            jnp.where(
+                graph.node_valid[None, :],
+                jnp.linalg.norm(delta, axis=-1),
+                0.0,
+            ),
+            axis=1,
+        )  # (B,)
+        return new_tf, upd
+
+    node_tf, upd = jax.lax.fori_loop(
+        0,
+        max_gn_iterations,
+        gn_body,
+        (node_tf, jnp.full((bsz,), jnp.inf, src_points.dtype)),
+    )
+    return node_tf, upd
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_iterations", "max_gn_iterations", "with_normals"),
+)
+def _icp_batched_impl(
+    graph,
+    src_points,
+    dst_points_b,
+    dst_normals_b,
+    src_valid,
+    point_weight,
+    plane_weight,
+    stiffness,
+    huber_delta,
+    convergence_tol,
+    max_corr_dist_sq,
+    *,
+    max_iterations,
+    max_gn_iterations,
+    with_normals,
+):
+    from ..neighbors.pallas_nn import (
+        INVALID_DIST, maybe_make_nn1_prune_plan, nn1_pruned_planned,
+    )
+
+    bsz, n, d = dst_points_b.shape
+    m = graph.num_nodes
+    # Per-stream prune plans, hoisted out of the outer loop (the sorts are
+    # the O(N log N) part; AABB refresh per pass stays exact). Eligibility
+    # is shape-static, so the trace picks ONE path for all streams.
+    plans = [
+        maybe_make_nn1_prune_plan(
+            dst_points_b[b], max_corr_dist_sq, src_points,
+            query_valid=src_valid,
+        )
+        for b in range(bsz)
+    ]
+    use_planned = all(p is not None for p in plans)
+    node_tf0 = identity_warp_batched(bsz, m)
+
+    def body(carry):
+        node_tf, _, it = carry
+        warped = warp_points_batched(graph, node_tf, src_points)
+
+        dgt, ngt, ws = [], [], []
+        for b in range(bsz):  # unrolled: per-stream kernels/plans
+            q = warped[:, b]
+            if use_planned:
+                dist, idx = nn1_pruned_planned(q, plans[b])
+            else:
+                from ..neighbors import nn1
+
+                dist, idx = nn1(q, dst_points_b[b])
+            mask = (
+                (dist <= max_corr_dist_sq)
+                & (dist < INVALID_DIST * 0.5)
+                & src_valid
+            )
+            safe = jnp.where(mask, idx, 0)
+            dgt.append(dst_points_b[b][safe])
+            if with_normals:
+                ngt.append(dst_normals_b[b][safe])
+            ws.append(mask.astype(src_points.dtype))
+        dgt = jnp.stack(dgt, axis=1)  # (N, B, 3)
+        ngt = jnp.stack(ngt, axis=1) if with_normals else None
+        w = jnp.stack(ws, axis=1)  # (N, B)
+
+        new_tf, _ = estimate_warp_field_batched(
+            graph, src_points, dgt, ngt, w,
+            init=node_tf,
+            point_weight=point_weight,
+            plane_weight=plane_weight,
+            stiffness=stiffness,
+            huber_delta=huber_delta,
+            max_gn_iterations=max_gn_iterations,
+        )
+        delta_lin = new_tf.linear - node_tf.linear
+        delta_tr = new_tf.translation - node_tf.translation
+        upd = jnp.max(
+            jnp.where(
+                graph.node_valid[None, :],
+                jnp.sqrt(
+                    jnp.sum(delta_lin**2, axis=(-2, -1))
+                    + jnp.sum(delta_tr**2, axis=-1)
+                ),
+                0.0,
+            ),
+            axis=1,
+        )  # (B,)
+        return new_tf, upd, it + 1
+
+    def cond(carry):
+        _, upd, it = carry
+        return (it < max_iterations) & jnp.any(upd >= convergence_tol)
+
+    node_tf, upd, it = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            node_tf0,
+            jnp.full((bsz,), jnp.inf, src_points.dtype),
+            jnp.array(0, jnp.int32),
+        ),
+    )
+    return node_tf, it, upd < convergence_tol
+
+
+def icp_warp_field_batched(
+    graph: DeformationGraph,
+    src_points: jax.Array,  # (N, 3) shared template
+    dst_points_b: jax.Array,  # (B, N, 3) per-stream targets
+    *,
+    dst_normals_b: Optional[jax.Array] = None,
+    src_valid: Optional[jax.Array] = None,
+    max_corr_dist_sq: float = 0.0025,
+    point_weight: float = 0.1,
+    plane_weight: float = 1.0,
+    stiffness: float = 200.0,
+    huber_delta: float = 1e-2,
+    max_iterations: int = 15,
+    convergence_tol: float = 2.5e-3,
+    max_gn_iterations: int = 1,
+) -> Tuple[Transform, jax.Array, jax.Array]:
+    """B-stream twin of :func:`..registration.icp_warp_field`: one shared
+    template + EDG graph registered to B target clouds in ONE program.
+
+    The per-stream NN searches cannot share work (each stream has its own
+    key cloud and prune plan) and run unrolled inside the outer body; the
+    GN solve is ONE batched :func:`estimate_warp_field_batched`. All
+    streams iterate in lockstep until every stream's node-motion update
+    drops below tolerance. Returns ``(transforms (B, M, …), iterations,
+    converged (B,))``.
+    """
+    n = src_points.shape[0]
+    if src_valid is None:
+        src_valid = jnp.ones(n, bool)
+    if dst_normals_b is None:
+        dst_normals_b = jnp.zeros_like(dst_points_b)  # unused when gated off
+    return _icp_batched_impl(
+        graph, src_points, dst_points_b, dst_normals_b, src_valid,
+        point_weight, plane_weight, stiffness, huber_delta,
+        convergence_tol, max_corr_dist_sq,
+        max_iterations=max_iterations,
+        max_gn_iterations=max_gn_iterations,
+        with_normals=plane_weight != 0.0,
+    )
