@@ -524,6 +524,30 @@ def bench_estimation_clustering():
     )
 
 
+def _bench_edg_graph(srcj):
+    """2.5 cm EDG control graph with nodes COMPACTED to occupancy (837
+    occupied voxels → capacity 864): the C++ baseline solves its exact
+    ~835-node system, so padding ours to 1024 would hand the dense
+    Cholesky/layout phases a 1.65× m³ handicap the algorithm doesn't
+    require."""
+    import jax.numpy as jnp
+
+    from cilantro_tpu.core.containers import PointCloud
+    from cilantro_tpu.core.grid import grid_downsample
+    from cilantro_tpu.registration import build_deformation_graph
+
+    ctrl = grid_downsample(PointCloud(points=srcj), 0.025, capacity=1024)
+    occ = np.asarray(ctrl.points)[np.asarray(ctrl.valid)]
+    cap = -(-len(occ) // 32) * 32
+    nodes = np.zeros((cap, 3), np.float32)
+    nodes[: len(occ)] = occ
+    nv = np.arange(cap) < len(occ)
+    return build_deformation_graph(
+        srcj, jnp.asarray(nodes), node_valid=jnp.asarray(nv),
+        k_anchors=4, k_arcs=8,
+    )
+
+
 def bench_warp_field():
     """Secondary: non-rigid EDG warp-field ICP (stderr only) — recover a
     ~20 mm synthetic bend of frame_1 (the examples/non_rigid_icp.cpp
@@ -531,13 +555,7 @@ def bench_warp_field():
     import jax
     import jax.numpy as jnp
 
-    from cilantro_tpu.core.containers import PointCloud
-    from cilantro_tpu.core.grid import grid_downsample
-    from cilantro_tpu.registration import (
-        build_deformation_graph,
-        icp_warp_field,
-        warp_points,
-    )
+    from cilantro_tpu.registration import icp_warp_field, warp_points
     from cilantro_tpu.utils import read_point_cloud
 
     src, _, _ = read_point_cloud(
@@ -547,12 +565,7 @@ def bench_warp_field():
     dst[:, 2] += 0.02 * np.sin(8.0 * src[:, 0])
     dst[:, 1] += 0.01 * np.cos(6.0 * src[:, 0])
     srcj, dstj = jax.device_put((src, dst))
-    # Capacity 1024 (837 occupied voxels at 2.5 cm) keeps the node system
-    # small enough that solver='auto' picks the dense direct path.
-    ctrl = grid_downsample(PointCloud(points=srcj), 0.025, capacity=1024)
-    graph = build_deformation_graph(
-        srcj, ctrl.points, node_valid=ctrl.valid, k_anchors=4, k_arcs=8
-    )
+    graph = _bench_edg_graph(srcj)
     kw = dict(
         max_corr_dist_sq=0.0025, point_weight=1.0, plane_weight=0.0,
         stiffness=50.0, max_iterations=10, max_cg_iterations=200,
@@ -567,13 +580,14 @@ def bench_warp_field():
     err = np.median(np.linalg.norm(warped - dst, axis=1))
     log(
         f"non-rigid EDG warp ICP (120k pts, "
-        f"{int(np.asarray(jnp.sum(ctrl.valid)))} nodes): {dt:.2f} s/solve, "
+        f"{int(np.asarray(jnp.sum(graph.node_valid)))} nodes / "
+        f"{graph.num_nodes} capacity): {dt:.2f} s/solve, "
         f"{int(iters)} outer iters, median error {err*1e3:.2f} mm "
         f"vs ~20 mm deformation"
     )
     from cilantro_tpu.utils.roofline import roofline
 
-    m_cap = 1024
+    m_cap = graph.num_nodes
     n_pts = len(src)
     it_n = max(int(iters), 1)
     # Per outer iteration: dense Cholesky of the (6M, 6M) system + the
@@ -616,10 +630,7 @@ def bench_warp_batched(cpp_s):
     and the B dense systems batch onto the MXU as one Cholesky)."""
     import jax
 
-    from cilantro_tpu.core.containers import PointCloud
-    from cilantro_tpu.core.grid import grid_downsample
     from cilantro_tpu.registration import (
-        build_deformation_graph,
         icp_warp_field_batched,
         warp_points_batched,
     )
@@ -639,10 +650,7 @@ def bench_warp_batched(cpp_s):
 
     srcj = jax.device_put(src)
     dstj = jax.device_put(np.stack(dsts))
-    ctrl = grid_downsample(PointCloud(points=srcj), 0.025, capacity=1024)
-    graph = build_deformation_graph(
-        srcj, ctrl.points, node_valid=ctrl.valid, k_anchors=4, k_arcs=8
-    )
+    graph = _bench_edg_graph(srcj)
     kw = dict(
         max_corr_dist_sq=0.0025, point_weight=1.0, plane_weight=0.0,
         stiffness=50.0, max_iterations=10,

@@ -581,6 +581,46 @@ def estimate_warp_field(
                 ).reshape(-1)
                 return pair.reshape(-1, pp), keys
 
+            def chunk_blocks_soa(args):
+                """Rigid-3D pair blocks with the point-chunk axis LAST (the
+                lane dim): the AoS (…, P, P) layout above tile-pads ~21×
+                and dominated the direct GN (bisect 2026-08-20: 644 of
+                808 ms at B=8 in the batched twin). Same arithmetic,
+                lane-aligned. Returns ``(T, P, P, C)``."""
+                y_k, wa_k, an_k, wpp_k, wpl_k, nrm_k = args
+                yt = y_k.transpose(1, 2, 0)  # (K, 3, C)
+                xk, yk, zk = yt[:, 0], yt[:, 1], yt[:, 2]  # (K, C)
+                zero = jnp.zeros_like(xk)
+                one = jnp.ones_like(xk)
+                r0 = jnp.stack([zero, zk, -yk, one, zero, zero], axis=1)
+                r1 = jnp.stack([-zk, zero, xk, zero, one, zero], axis=1)
+                r2 = jnp.stack([yk, -xk, zero, zero, zero, one], axis=1)
+                bw = (
+                    jnp.stack([r0, r1, r2], axis=1)
+                    * wa_k.T[:, None, None, :]
+                )  # (K, 3, 6, C)
+                bk, bl = bw[kk], bw[ll]  # (T, 3, 6, C)
+                pair = wpp_k[None, None, None, :] * jnp.einsum(
+                    "tdpc,tdqc->tpqc", bk, bl
+                )
+                if dst_normals is not None:
+                    bn = jnp.einsum("dc,kdpc->kpc", nrm_k.T, bw)
+                    pair = pair + wpl_k[None, None, None, :] * jnp.einsum(
+                        "tpc,tqc->tpqc", bn[kk], bn[ll]
+                    )
+                pair = pair * half_diag[..., None]
+                a_n, b_n = an_k[:, kk], an_k[:, ll]
+                swap = (a_n > b_n).T  # (T, C)
+                pair = jnp.where(
+                    swap[:, None, None, :],
+                    jnp.swapaxes(pair, 1, 2),
+                    pair,
+                )
+                # Row layout BEFORE leaving the chunk (the scan-stacked SoA
+                # tensor otherwise materializes with (P, P) minor — a 7×
+                # tile-padded allocation; observed OOM in the batched twin).
+                return pair.transpose(3, 0, 1, 2).reshape(-1, pp)
+
             # Arcs follow the same one-block-per-unordered-pair scheme.
             sa = (stiffness * w_arc)[:, None, None]
             b_i = _row_blocks(y_jl)
@@ -611,13 +651,21 @@ def estimate_warp_field(
                 # gather + SORTED segment_sum into the occupied node pairs,
                 # then a unique sorted expand (2.7× the scatter's speed at
                 # bench scale — tools/pairblock_probe.py).
-                def chunk_fn(_, args):
-                    pair, _keys = chunk_blocks(args)
-                    return jnp.int32(0), pair
+                if not affine and d == 3:
+                    def chunk_fn(_, args):
+                        return jnp.int32(0), chunk_blocks_soa(args)
 
-                _, pair_stacked = jax.lax.scan(
-                    chunk_fn, jnp.int32(0), chunk_args
-                )
+                    _, pair_stacked = jax.lax.scan(
+                        chunk_fn, jnp.int32(0), chunk_args
+                    )
+                else:
+                    def chunk_fn(_, args):
+                        pair, _keys = chunk_blocks(args)
+                        return jnp.int32(0), pair
+
+                    _, pair_stacked = jax.lax.scan(
+                        chunk_fn, jnp.int32(0), chunk_args
+                    )
                 vals = jnp.concatenate(
                     [pair_stacked.reshape(-1, pp), arc_vals]
                 )

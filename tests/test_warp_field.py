@@ -332,3 +332,53 @@ def test_batched_warp_matches_single_streams(rng):
         err = np.median(np.linalg.norm(wb[:, b] - dsts[b], axis=1))
         assert agree < 1e-4, f"stream {b}: {agree}"
         assert err < 5e-3, f"stream {b}: recovery {err}"
+
+
+def test_batched_gn_matches_single_plane_metric(rng):
+    """One batched GN step with NORMALS (plane + point weights, closed-form
+    assembly incl. the bn_k bn_l^T rank-1 term) equals B single GN steps."""
+    from cilantro_tpu.core.containers import PointCloud
+    from cilantro_tpu.core.grid import grid_downsample
+    from cilantro_tpu.registration import build_deformation_graph
+    from cilantro_tpu.registration.warp_field import estimate_warp_field
+    from cilantro_tpu.registration.warp_field_batched import (
+        estimate_warp_field_batched,
+    )
+
+    n, bsz = 3000, 2
+    src = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    src[:, 2] *= 0.2
+    dst = np.stack(
+        [src + 0.01 * rng.standard_normal((n, 3)).astype(np.float32)
+         for _ in range(bsz)]
+    )
+    nrm = rng.standard_normal((bsz, n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    w = (rng.random((bsz, n)) > 0.2).astype(np.float32)
+    srcj = jnp.asarray(src)
+    ctrl = grid_downsample(PointCloud(points=srcj), 0.12, capacity=128)
+    graph = build_deformation_graph(
+        srcj, ctrl.points, node_valid=ctrl.valid, k_anchors=4, k_arcs=8
+    )
+    kw = dict(point_weight=0.3, plane_weight=1.0, stiffness=20.0,
+              max_gn_iterations=1)
+    tfb, _ = estimate_warp_field_batched(
+        graph, srcj,
+        jnp.asarray(dst.transpose(1, 0, 2)),
+        jnp.asarray(nrm.transpose(1, 0, 2)),
+        jnp.asarray(w.T),
+        **kw,
+    )
+    for b in range(bsz):
+        tfs, _, _ = estimate_warp_field(
+            graph, srcj, jnp.asarray(dst[b]), jnp.asarray(nrm[b]),
+            jnp.asarray(w[b]), solver="direct", **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tfb.translation[b]), np.asarray(tfs.translation),
+            atol=2e-5, err_msg=f"stream {b} translation",
+        )
+        np.testing.assert_allclose(
+            np.asarray(tfb.linear[b]), np.asarray(tfs.linear),
+            atol=2e-5, err_msg=f"stream {b} rotation",
+        )
