@@ -558,8 +558,8 @@ def make_nn1_prune_plan(
     *,
     key_valid: Optional[jax.Array] = None,
     query_valid: Optional[jax.Array] = None,
-    tile_q: int = 1024,
-    tile_m: int = 2048,
+    tile_q: int = 512,  # r4 sweep at 120k/5cm: 75.7 -> 55.9 ms per pass
+    tile_m: int = 1024,
 ) -> NN1PrunePlan:
     """Build the loop-invariant half of :func:`nn1_pruned`: Morton-sort both
     clouds (queries by their ``query_hint`` positions), pre-augment the keys,
