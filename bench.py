@@ -43,7 +43,11 @@ BATCH_STREAMS = 8
 BATCH_FRAMES = 12
 
 T_START = time.perf_counter()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "560"))
+# Default sized for a ~10 min driver timeout with COLD axon AOT compiles
+# (the cache never captures them): the full stage list needs ~920 s cold,
+# so low-value stages self-skip; run with BENCH_BUDGET_S=3000 for the
+# complete record (~15 min).
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "520"))
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
 
@@ -653,6 +657,23 @@ def bench_warp_batched(cpp_s):
     srcj = jax.device_put(src)
     dstj = jax.device_put(np.stack(dsts))
     graph = _bench_edg_graph(srcj)
+    if cpp_s is None:
+        # Running before the single-solve stage (tight-budget ordering):
+        # measure the C++ denominator here — two 1.7 s solves, cheap.
+        from cilantro_tpu.native import baseline_warp_native
+
+        best = float("inf")
+        for _ in range(2):
+            cw = baseline_warp_native(
+                src, dsts[0], ctrl_res=0.025, k_anchors=4, k_arcs=8,
+                max_outer=10, max_cg=200, point_weight=1.0, stiffness=50.0,
+                max_corr_dist_sq=0.0025,
+            )
+            if cw is None:
+                break
+            best = min(best, cw[3] / 1e3)
+        if best < float("inf"):
+            cpp_s = best
     kw = dict(
         max_corr_dist_sq=0.0025, point_weight=1.0, plane_weight=0.0,
         stiffness=50.0, max_iterations=10,
@@ -700,7 +721,7 @@ def main():
     # vs the pool's 15.8 ms @ 0.049 mm) and the headline reports the best
     # available pipeline. A failure/skip here falls back to the pool row.
     splat_out = run_stage(
-        "splat fusion", bench_splat_fusion, 120, depths, gt, k, cpu_dt
+        "splat fusion", bench_splat_fusion, 60, depths, gt, k, cpu_dt
     )
     pipeline = "pool"
     best_dt, best_ate = tpu_dt, ate
@@ -737,13 +758,15 @@ def main():
 
     # Stage estimates are COLD figures (compile included): the axon backend
     # re-AOT-compiles every process, so a fresh driver run pays them all.
-    run_stage("batched fusion aggregate", bench_batched_fusion, 55, cpu_dt)
-    icp_out = run_stage("rigid ICP", bench_rigid_icp, 70)
+    # Order = value-per-second under a tight budget: the aggregate rows
+    # (this round's claims) come before the slow-compiling singles.
+    run_stage("batched fusion aggregate", bench_batched_fusion, 40, cpu_dt)
+    run_stage("warp batched aggregate", bench_warp_batched, 190, None)
+    run_stage("warp field", bench_warp_field, 280)
+    icp_out = run_stage("rigid ICP", bench_rigid_icp, 75)
     if icp_out is not None:
-        run_stage("NN/kNN/radius", bench_nn, 95, *icp_out)
-    cpp_s = run_stage("warp field", bench_warp_field, 290)
-    run_stage("warp batched aggregate", bench_warp_batched, 200, cpp_s)
-    run_stage("estimation/clustering", bench_estimation_clustering, 200)
+        run_stage("NN/kNN/radius", bench_nn, 105, *icp_out)
+    run_stage("estimation/clustering", bench_estimation_clustering, 190)
     log(f"bench done in {time.perf_counter()-T_START:.0f}s")
 
 

@@ -75,6 +75,12 @@ class SplatConfig:
     radius: int = 4  # re-association window (±px per frame)
     margin: int = 16  # off-frustum survival band (multiple of 16)
     icp_iterations: int = 6
+    # GN early exit, matching the reference localize's convergence check
+    # (``fusion.cpp:139-140``: max 6 iterations, tol 5e-4): warm-started
+    # frames converge in 2-3 iterations, and each saved iteration is a
+    # full-frame window read (~1 ms at 640×480 — measured 10.5 → 7.6
+    # ms/frame at identical ATE when iterations drop 6 → 3).
+    icp_convergence_tol: float = 5e-4
     icp_max_corr_dist_sq: float = 0.01
     icp_normal_dot_min: float = 0.0  # correspondence gate (off by default)
     depth_fuse_thresh: float = 0.01
@@ -210,7 +216,8 @@ def splat_localize(
     mdl_nrm = smap.rows[:, _CH_NRM]
     l = smap.rows.shape[0]
 
-    def gn_iter(cw: Transform, _):
+    def gn_iter(carry):
+        cw, _, it = carry
         zc, off, mvalid = _project_model(smap.rows, cw, intrinsics, m, r)
         # Window-read the frame at each surfel's projected pixel; layers
         # share one kernel launch via the batch axis.
@@ -257,11 +264,23 @@ def splat_localize(
         jtj = jtj + 1e-8 * jnp.eye(6, dtype=jtj.dtype)
         step = -jnp.linalg.solve(jtj, jtr)
         delta = gn_update_3d(step)
-        return reproject_rigid(compose(delta, cw)), None
+        return (
+            reproject_rigid(compose(delta, cw)),
+            jnp.linalg.norm(step),
+            it + 1,
+        )
+
+    def gn_cond(carry):
+        _, step_norm, it = carry
+        return (it < cfg.icp_iterations) & (
+            step_norm >= cfg.icp_convergence_tol
+        )
 
     cw0 = inverse(pose_guess)
-    cw, _ = jax.lax.scan(
-        gn_iter, cw0, None, length=cfg.icp_iterations
+    cw, _, _ = jax.lax.while_loop(
+        gn_cond,
+        gn_iter,
+        (cw0, jnp.array(jnp.inf, jnp.float32), jnp.array(0, jnp.int32)),
     )
     return inverse(cw)
 
