@@ -13,7 +13,8 @@ Structure (VERDICT r3 weak #1: round 3's record was lost to a timeout):
     render, no device contact — first contact over the axon tunnel has been
     observed to cost minutes and must not hide inside data generation);
   * every secondary stage runs under a wall budget (``BENCH_BUDGET_S``,
-    default 560 s) and is skipped with a log line when the remaining budget
+    default 520 s — sized for a ~10 min driver timeout with cold AOT
+    compiles) and is skipped with a log line when the remaining budget
     cannot cover its estimate;
   * sub-50 ms rows are priced with the two-iteration-count LICM-proof
     method (``cilantro_tpu.utils.honest_timing``) so they measure the chip,
@@ -163,10 +164,13 @@ def bench_fusion_cpu(depths):
     # timing=True starts the numpy clock after frame-0 map init — the same
     # boundary the C++ library's out_ms uses, so both per-frame figures
     # divide the same tracked-frame span.
-    poses, loop_s = fusion_cpu(
-        depths[:CPU_FRAMES], 525.0, 525.0, 319.5, 239.5, timing=True
-    )
-    best = loop_s / (CPU_FRAMES - 1)
+    best = float("inf")
+    poses = None
+    for _ in range(2):  # best-of-2 guards against host contention spikes
+        poses, loop_s = fusion_cpu(
+            depths[:CPU_FRAMES], 525.0, 525.0, 319.5, 239.5, timing=True
+        )
+        best = min(best, loop_s / (CPU_FRAMES - 1))
     log(f"CPU fusion baseline (numpy): {best*1e3:.0f} ms/frame "
         f"({1.0/best:.2f} fps)")
     stack = np.stack(depths[:CPU_FRAMES]).astype(np.float32)
@@ -332,16 +336,18 @@ def bench_nn(p1, p1j, p2j):
         f"exact nn1 120k vs 120k: {nn_dt*1e3:.0f} ms "
         f"({len(p1)/nn_dt/1e6:.2f} M queries/s)"
     )
-    nm = float(len(p1)) * float(len(p1))
+    n2 = int(p2j.shape[0])
+    nm = float(len(p1)) * float(n2)
     log(roofline(
         "nn1 distance matmul (full-problem useful work)",
         nn_dt,
         flops=2.0 * nm * 8,  # (TQ,8)@(8,TM) augmented contraction
-        bytes_moved=2 * len(p1) * 8 * 4 + len(p1) * 8,
+        bytes_moved=(len(p1) + n2) * 8 * 4 + len(p1) * 8,
     ))
     from cilantro_tpu.native import baseline_knn_native
 
-    res1 = baseline_knn_native(np.asarray(p1j), np.asarray(p2j), 1)
+    # Same workload as the TPU row: tree on p2 (keys), query p1.
+    res1 = baseline_knn_native(np.asarray(p2j), np.asarray(p1j), 1)
     if res1 is not None:
         _, _, b1, q1 = res1
         log(
@@ -659,21 +665,17 @@ def bench_warp_batched(cpp_s):
     graph = _bench_edg_graph(srcj)
     if cpp_s is None:
         # Running before the single-solve stage (tight-budget ordering):
-        # measure the C++ denominator here — two 1.7 s solves, cheap.
+        # measure the C++ denominator here once (~1.7 s; the single-solve
+        # stage re-measures with its own recovery cross-check when it runs).
         from cilantro_tpu.native import baseline_warp_native
 
-        best = float("inf")
-        for _ in range(2):
-            cw = baseline_warp_native(
-                src, dsts[0], ctrl_res=0.025, k_anchors=4, k_arcs=8,
-                max_outer=10, max_cg=200, point_weight=1.0, stiffness=50.0,
-                max_corr_dist_sq=0.0025,
-            )
-            if cw is None:
-                break
-            best = min(best, cw[3] / 1e3)
-        if best < float("inf"):
-            cpp_s = best
+        cw = baseline_warp_native(
+            src, dsts[0], ctrl_res=0.025, k_anchors=4, k_arcs=8,
+            max_outer=10, max_cg=200, point_weight=1.0, stiffness=50.0,
+            max_corr_dist_sq=0.0025,
+        )
+        if cw is not None:
+            cpp_s = cw[3] / 1e3
     kw = dict(
         max_corr_dist_sq=0.0025, point_weight=1.0, plane_weight=0.0,
         stiffness=50.0, max_iterations=10,
@@ -711,7 +713,19 @@ def main():
     )
     log(f"sequence ready at {time.perf_counter()-T_START:.0f}s")
 
-    run_stage("kernel smoke", kernel_smoke, 0)  # always runs; first contact
+    # The smoke is the lowering-correctness gate: a failure must MARK the
+    # record (run_stage's blanket except would silently continue and the
+    # headline would come from a backend known to miscompile).
+    t_smoke = time.perf_counter()
+    try:
+        kernel_smoke()
+        smoke_suffix = ""
+        log(f"[stage] kernel smoke: {time.perf_counter()-t_smoke:.0f}s "
+            f"({remaining():.0f}s budget left)")
+    except Exception as e:
+        smoke_suffix = "; KERNEL SMOKE FAILED"
+        log(f"[stage] kernel smoke FAILED — record suspect: "
+            f"{type(e).__name__}: {e}")
 
     tpu_dt, ate, tpu_poses = bench_fusion_tpu(depths, gt, k)
     cpu_dt, cpu_poses = bench_fusion_cpu(depths)
@@ -739,7 +753,7 @@ def main():
                 "unit": (
                     f"frames/s (640x480 RGBD frame-to-model fusion, "
                     f"{pipeline} pipeline, ATE {best_ate*1e3:.2f} mm over "
-                    f"{FRAMES} frames)"
+                    f"{FRAMES} frames{smoke_suffix})"
                 ),
                 "vs_baseline": round(cpu_dt / best_dt, 2),
             }

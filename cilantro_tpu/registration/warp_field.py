@@ -586,7 +586,8 @@ def estimate_warp_field(
                 lane dim): the AoS (…, P, P) layout above tile-pads ~21×
                 and dominated the direct GN (bisect 2026-08-20: 644 of
                 808 ms at B=8 in the batched twin). Same arithmetic,
-                lane-aligned. Returns ``(T, P, P, C)``."""
+                lane-aligned. Returns the row-layout ``(C·T, pp)`` block
+                (point-major then t, matching ``graph.pair_order``)."""
                 y_k, wa_k, an_k, wpp_k, wpl_k, nrm_k = args
                 yt = y_k.transpose(1, 2, 0)  # (K, 3, C)
                 xk, yk, zk = yt[:, 0], yt[:, 1], yt[:, 2]  # (K, C)
@@ -654,18 +655,14 @@ def estimate_warp_field(
                 if not affine and d == 3:
                     def chunk_fn(_, args):
                         return jnp.int32(0), chunk_blocks_soa(args)
-
-                    _, pair_stacked = jax.lax.scan(
-                        chunk_fn, jnp.int32(0), chunk_args
-                    )
                 else:
                     def chunk_fn(_, args):
                         pair, _keys = chunk_blocks(args)
                         return jnp.int32(0), pair
 
-                    _, pair_stacked = jax.lax.scan(
-                        chunk_fn, jnp.int32(0), chunk_args
-                    )
+                _, pair_stacked = jax.lax.scan(
+                    chunk_fn, jnp.int32(0), chunk_args
+                )
                 vals = jnp.concatenate(
                     [pair_stacked.reshape(-1, pp), arc_vals]
                 )

@@ -520,7 +520,8 @@ def icp_warp_field_batched(
     n = src_points.shape[0]
     if src_valid is None:
         src_valid = jnp.ones(n, bool)
-    if dst_normals_b is None:
+    have_normals = dst_normals_b is not None
+    if not have_normals:
         dst_normals_b = jnp.zeros_like(dst_points_b)  # unused when gated off
     return _icp_batched_impl(
         graph, src_points, dst_points_b, dst_normals_b, src_valid,
@@ -528,5 +529,8 @@ def icp_warp_field_batched(
         convergence_tol, max_corr_dist_sq,
         max_iterations=max_iterations,
         max_gn_iterations=max_gn_iterations,
-        with_normals=plane_weight != 0.0,
+        # Plane terms need REAL normals: gating on plane_weight alone would
+        # run the full rank-1 plane assembly against the zero placeholder
+        # (same semantics as the single solver's dst_normals=None).
+        with_normals=have_normals and plane_weight != 0.0,
     )

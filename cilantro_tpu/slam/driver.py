@@ -227,9 +227,14 @@ def synthetic_sequence(
         import os as _os
 
         _os.makedirs(cache_dir, exist_ok=True)
+        _k = "-".join(
+            f"{float(np.asarray(v)):g}"
+            for v in (intrinsics.fx, intrinsics.fy,
+                      intrinsics.cx, intrinsics.cy)
+        )
         cache_path = _os.path.join(
             cache_dir,
-            f"seq_{num_frames}x{h}x{w}_s{seed}_m{motion_scale:g}.npz",
+            f"seq_{num_frames}x{h}x{w}_s{seed}_m{motion_scale:g}_k{_k}.npz",
         )
         if _os.path.exists(cache_path):
             try:
