@@ -775,7 +775,7 @@ def main():
     # Order = value-per-second under a tight budget: the aggregate rows
     # (this round's claims) come before the slow-compiling singles.
     run_stage("batched fusion aggregate", bench_batched_fusion, 40, cpu_dt)
-    run_stage("warp batched aggregate", bench_warp_batched, 190, None)
+    run_stage("warp batched aggregate", bench_warp_batched, 330, None)
     run_stage("warp field", bench_warp_field, 280)
     icp_out = run_stage("rigid ICP", bench_rigid_icp, 75)
     if icp_out is not None:

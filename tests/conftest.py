@@ -29,6 +29,20 @@ import pytest  # noqa: E402
 REFERENCE_CLOUDS = "/root/reference/examples/test_clouds"
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The full suite compiles many hundreds of XLA CPU programs; keeping them
+    all alive in the jit caches has crashed the CPU backend twice near the
+    END of full runs (an abort in backend_compile at test 210+, then a
+    segfault at test 230+ — both compiles that pass in isolation). The
+    persistent disk cache (enabled above) makes re-warming cheap, so the
+    accumulated in-process state is the only thing this discards."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture()
 def rng():
     # Function-scoped: every test draws the same deterministic stream, so

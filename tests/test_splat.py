@@ -192,8 +192,16 @@ def test_splat_sequence_tracks_and_matches_pool(splat_run):
     assert float(np.median(np.asarray(d))) < 1e-5  # squared-L2 (≈3 mm)
 
 
-def test_splat_scanned_matches_host_loop(splat_run):
-    depths, gt, k, cfg, smap, poses_h = splat_run
+def test_splat_scanned_matches_host_loop():
+    """Scanned splat == host loop. Runs its own SMALLER config (radius 2:
+    25 window offsets instead of 81): the radius-4 scanned program's
+    interpret-mode HLO is large enough that XLA's CPU backend aborted
+    compiling it late in a full-suite run (fine standalone — the crash
+    needs a process with hundreds of prior compiles), and the
+    scan-vs-loop equivalence this asserts is radius-independent."""
+    depths, gt, k = _sequence(frames=3)
+    cfg = SplatConfig(radius=2, margin=16)
+    _, poses_h, _ = run_splat_sequence(depths, k, cfg=cfg)
     _, poses_s, _ = run_splat_sequence_scanned(depths, k, cfg=cfg)
     for a, b in zip(poses_h, poses_s):
         np.testing.assert_allclose(a, b, atol=1e-5)
