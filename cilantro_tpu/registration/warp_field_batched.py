@@ -49,12 +49,21 @@ def identity_warp_batched(bsz: int, num_nodes: int) -> Transform:
 
 
 def _nodes_wide(node_tf: Transform):
-    """(B, M, …) per-node transforms → node-leading wide rows
-    ``lin (M, B·9)``, ``tr (M, B·3)`` so every graph gather is one rank-1
-    gather of wide rows."""
+    """(B, M, …) per-node transforms → ONE node-leading wide-row array
+    ``(M, B·12)`` (linear then translation) so every graph gather is one
+    rank-1 gather of wide rows — indexed ops price rows, not bytes."""
     bsz, m = node_tf.translation.shape[:2]
     lin = node_tf.linear.transpose(1, 0, 2, 3).reshape(m, bsz * 9)
     tr = node_tf.translation.transpose(1, 0, 2).reshape(m, bsz * 3)
+    return jnp.concatenate([lin, tr], axis=1)
+
+
+def _split_wide(pa, bsz):
+    """Split a gathered ``(..., B·12)`` packed row back into
+    ``lin (..., B, 3, 3)`` and ``tr (..., B, 3)``."""
+    lead = pa.shape[:-1]
+    lin = pa[..., : bsz * 9].reshape(lead + (bsz, 3, 3))
+    tr = pa[..., bsz * 9:].reshape(lead + (bsz, 3))
     return lin, tr
 
 
@@ -64,11 +73,10 @@ def warp_points_batched(
     """(B, M) transforms applied to the SHARED source points → (N, B, 3)
     (batch axis after the point axis: that is the layout every downstream
     consumer wants, and it keeps the anchor gather rank-1)."""
-    bsz, m = node_tf.translation.shape[:2]
-    n, k = graph.anchors.shape
-    lin_w, tr_w = _nodes_wide(node_tf)
-    lin_a = lin_w[graph.anchors].reshape(n, k, bsz, 3, 3)
-    tr_a = tr_w[graph.anchors].reshape(n, k, bsz, 3)
+    bsz = node_tf.translation.shape[0]
+    lin_a, tr_a = _split_wide(
+        _nodes_wide(node_tf)[graph.anchors], bsz
+    )
     y = jnp.einsum("nkbij,nj->nkbi", lin_a, points) + tr_a
     return jnp.einsum("nk,nkbi->nbi", graph.anchor_weights, y)
 
@@ -151,19 +159,16 @@ def estimate_warp_field_batched(
 
     def gn_body(it, carry):
         node_tf, _ = carry
-        lin_w, tr_w = _nodes_wide(node_tf)
-        lin_a = lin_w[graph.anchors].reshape(n, k_anch, bsz, 3, 3)
-        tr_a = tr_w[graph.anchors].reshape(n, k_anch, bsz, 3)
+        wide = _nodes_wide(node_tf)  # (M, B·12): ONE gather per index set
+        lin_a, tr_a = _split_wide(wide[graph.anchors], bsz)
         y = jnp.einsum("nkbij,nj->nkbi", lin_a, src_points) + tr_a
         wa = graph.anchor_weights  # (N, K) shared
         x = jnp.einsum("nk,nkbi->nbi", wa, y)
 
         # Arc geometry (A small: ~8·M rows).
         cl = graph.node_positions[graph.arc_j]  # (A, 3)
-        li = lin_w[graph.arc_i].reshape(-1, bsz, 3, 3)
-        ti = tr_w[graph.arc_i].reshape(-1, bsz, 3)
-        lj = lin_w[graph.arc_j].reshape(-1, bsz, 3, 3)
-        tj = tr_w[graph.arc_j].reshape(-1, bsz, 3)
+        li, ti = _split_wide(wide[graph.arc_i], bsz)
+        lj, tj = _split_wide(wide[graph.arc_j], bsz)
         y_jl = jnp.einsum("abij,aj->abi", li, cl) + ti  # (A, B, 3)
         y_ll = jnp.einsum("abij,aj->abi", lj, cl) + tj
         r_arc0 = y_jl - y_ll
