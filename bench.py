@@ -114,7 +114,37 @@ def kernel_smoke():
     want_counts = np.minimum((D <= r * r).sum(1), 8)
     got_counts = (np.asarray(dr) < 1e38).sum(1)
     assert (got_counts == want_counts).mean() > 0.999, "radius smoke: counts"
-    log("on-chip kernel smoke OK (nn1/knn/radius vs brute force)")
+
+    # Splat argmin2 (the headline pipeline's election kernel) on a tiny
+    # UNALIGNED width — the exact class of shape that crashed real Mosaic
+    # in round 3 while interpret mode passed.
+    from cilantro_tpu.slam.splat import pad_hw, splat_argmin2
+
+    R2 = 2
+    w2 = 2 * R2 + 1
+    key = rng.random((2, 32, 48)).astype(np.float32)
+    off = rng.integers(-1, w2 * w2, size=(2, 32, 48)).astype(np.int32)
+    key[off < 0] = np.inf
+    bk, bc, _, _ = splat_argmin2(
+        jnp.asarray(pad_hw(key, R2, np.inf))[None],
+        jnp.asarray(pad_hw(off, R2, -1))[None],
+        radius=R2, interpret=False,
+    )
+    bk, bc = np.asarray(bk[0]), np.asarray(bc[0])
+    # Brute reference election.
+    best = np.full((32, 48), np.inf, np.float32)
+    for li in range(2):
+        for y in range(32):
+            for x in range(48):
+                oc = off[li, y, x]
+                if oc < 0:
+                    continue
+                dv, du = divmod(int(oc), w2)
+                ty, tx = y + dv - R2, x + du - R2
+                if 0 <= ty < 32 and 0 <= tx < 48:
+                    best[ty, tx] = min(best[ty, tx], key[li, y, x])
+    assert np.allclose(bk, best), "splat argmin2 smoke"
+    log("on-chip kernel smoke OK (nn1/knn/radius/splat vs brute force)")
 
 
 def bench_fusion_tpu(depths, gt, k):

@@ -72,6 +72,23 @@ def pad_hw(x: jax.Array, radius: int, fill) -> jax.Array:
     return jnp.pad(x, widths, constant_values=fill)
 
 
+def _sublane_halo(radius: int) -> int:
+    """Halo rows per band side, rounded so the per-band HBM→VMEM copy
+    extent ``band + 2·halo`` is a multiple of the 8-row sublane tile —
+    Mosaic rejects unaligned sublane slice shapes ('Slice shape along
+    dimension 2 must be aligned to tiling (8)': radius 2's 16+4=20-row
+    band copy faulted on chip; radius 4's 24 happened to align)."""
+    return -(-radius // 4) * 4
+
+
+def _pad_rows(x: jax.Array, extra: int, fill) -> jax.Array:
+    """Pad the second-to-last dim by ``extra`` on each side."""
+    if not extra:
+        return x
+    widths = [(0, 0)] * (x.ndim - 2) + [(extra, extra), (0, 0)]
+    return jnp.pad(x, widths, constant_values=fill)
+
+
 def _pad_lanes(x: jax.Array, fill) -> jax.Array:
     """Right-pad the last dim to a multiple of 128: Mosaic rejects HBM→VMEM
     band copies whose lane extent is not tile-aligned ('Slice shape along
@@ -89,7 +106,7 @@ def _pad_lanes(x: jax.Array, fill) -> jax.Array:
 
 def _argmin2_kernel(
     key_hbm, off_hbm, bk_ref, bc_ref, sk_ref, sc_ref, sk_key, sk_off, sem,
-    *, radius, layers, band, height, width
+    *, radius, halo, layers, band, height, width
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -97,12 +114,12 @@ def _argmin2_kernel(
     w2 = 2 * r + 1
     cps = [
         pltpu.make_async_copy(
-            key_hbm.at[b, :, pl.ds(i * band, band + 2 * r), :],
+            key_hbm.at[b, :, pl.ds(i * band, band + 2 * halo), :],
             sk_key,
             sem.at[0],
         ),
         pltpu.make_async_copy(
-            off_hbm.at[b, :, pl.ds(i * band, band + 2 * r), :],
+            off_hbm.at[b, :, pl.ds(i * band, band + 2 * halo), :],
             sk_off,
             sem.at[1],
         ),
@@ -122,7 +139,7 @@ def _argmin2_kernel(
             for bb in range(-r, r + 1):
                 oc = (a + r) * w2 + (bb + r)
                 code = oc * layers + l
-                ys, xs = r - a, r - bb
+                ys, xs = halo - a, r - bb
                 k_s = sk_key[l, ys : ys + band, xs : xs + width]
                 o_s = sk_off[l, ys : ys + band, xs : xs + width]
                 cand = jnp.where(o_s == oc, k_s, inf)
@@ -154,11 +171,12 @@ def splat_argmin2(
     first candidate in (layer, dv, du) loop order wins on equal keys."""
     interpret = _auto_interpret(interpret)
     w_out = key.shape[-1] - 2 * radius
-    key = _pad_lanes(key, jnp.inf)
-    off = _pad_lanes(off, -1)
-    bsz, layers, hp, wp = key.shape
     r = radius
-    h, w = hp - 2 * r, wp - 2 * r
+    halo = _sublane_halo(r)
+    key = _pad_rows(_pad_lanes(key, jnp.inf), halo - r, jnp.inf)
+    off = _pad_rows(_pad_lanes(off, -1), halo - r, -1)
+    bsz, layers, hp, wp = key.shape
+    h, w = hp - 2 * halo, wp - 2 * r
     band = _BAND
     assert h % band == 0, (h, band)
     grid = (bsz, h // band)
@@ -169,6 +187,7 @@ def splat_argmin2(
         partial(
             _argmin2_kernel,
             radius=r,
+            halo=halo,
             layers=layers,
             band=band,
             height=h,
@@ -183,8 +202,8 @@ def splat_argmin2(
             ],
             out_specs=(out_spec, out_spec, out_spec, out_spec),
             scratch_shapes=[
-                pltpu.VMEM((layers, band + 2 * r, wp), jnp.float32),
-                pltpu.VMEM((layers, band + 2 * r, wp), jnp.int32),
+                pltpu.VMEM((layers, band + 2 * halo, wp), jnp.float32),
+                pltpu.VMEM((layers, band + 2 * halo, wp), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -201,14 +220,14 @@ def splat_argmin2(
 
 def _select_rows_kernel(
     code_ref, rows_hbm, out_ref, sk_rows, sem,
-    *, radius, layers, chans, band, width
+    *, radius, halo, layers, chans, band, width
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
     r = radius
     w2 = 2 * r + 1
     cp = pltpu.make_async_copy(
-        rows_hbm.at[b, :, :, pl.ds(i * band, band + 2 * r), :],
+        rows_hbm.at[b, :, :, pl.ds(i * band, band + 2 * halo), :],
         sk_rows,
         sem,
     )
@@ -221,7 +240,7 @@ def _select_rows_kernel(
             for bb in range(-r, r + 1):
                 cconst = ((a + r) * w2 + (bb + r)) * layers + l
                 mask = code == cconst
-                ys, xs = r - a, r - bb
+                ys, xs = halo - a, r - bb
                 for c in range(chans):
                     row_s = sk_rows[
                         l, c, ys : ys + band, xs : xs + width
@@ -241,10 +260,11 @@ def flow_select_rows(
     pixel encoded by ``code[., y, x]`` (zeros where code == -1)."""
     interpret = _auto_interpret(interpret)
     w_out = rows.shape[-1] - 2 * radius
-    rows = _pad_lanes(rows, 0.0)
-    bsz, layers, chans, hp, wp = rows.shape
     r = radius
-    h, w = hp - 2 * r, wp - 2 * r
+    halo = _sublane_halo(r)
+    rows = _pad_rows(_pad_lanes(rows, 0.0), halo - r, 0.0)
+    bsz, layers, chans, hp, wp = rows.shape
+    h, w = hp - 2 * halo, wp - 2 * r
     band = _BAND
     assert h % band == 0
     if w > w_out:  # keep the code image in step with the padded lanes
@@ -257,6 +277,7 @@ def flow_select_rows(
         partial(
             _select_rows_kernel,
             radius=r,
+            halo=halo,
             layers=layers,
             chans=chans,
             band=band,
@@ -274,7 +295,7 @@ def flow_select_rows(
             ),
             scratch_shapes=[
                 pltpu.VMEM(
-                    (layers, chans, band + 2 * r, wp), jnp.float32
+                    (layers, chans, band + 2 * halo, wp), jnp.float32
                 ),
                 pltpu.SemaphoreType.DMA(()),
             ],
@@ -289,14 +310,15 @@ def flow_select_rows(
 
 
 def _window_read_kernel(
-    off_ref, img_hbm, out_ref, sk_img, sem, *, radius, chans, band, width
+    off_ref, img_hbm, out_ref, sk_img, sem,
+    *, radius, halo, chans, band, width
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
     r = radius
     w2 = 2 * r + 1
     cp = pltpu.make_async_copy(
-        img_hbm.at[b, :, pl.ds(i * band, band + 2 * r), :], sk_img, sem
+        img_hbm.at[b, :, pl.ds(i * band, band + 2 * halo), :], sk_img, sem
     )
     cp.start()
     out_ref[...] = jnp.full_like(out_ref, -1)
@@ -306,7 +328,7 @@ def _window_read_kernel(
         for bb in range(-r, r + 1):
             oc = (a + r) * w2 + (bb + r)
             mask = off == oc
-            ys, xs = r + a, r + bb
+            ys, xs = halo + a, r + bb
             for c in range(chans):
                 img_s = sk_img[c, ys : ys + band, xs : xs + width]
                 out_ref[0, c] = jnp.where(mask, img_s, out_ref[0, c])
@@ -324,10 +346,11 @@ def window_read_codes(
     d decoded from ``off`` (-1 where off is -1)."""
     interpret = _auto_interpret(interpret)
     w_out = img.shape[-1] - 2 * radius
-    img = _pad_lanes(img, -1)
-    bsz, chans, hp, wp = img.shape
     r = radius
-    h, w = hp - 2 * r, wp - 2 * r
+    halo = _sublane_halo(r)
+    img = _pad_rows(_pad_lanes(img, -1), halo - r, -1)
+    bsz, chans, hp, wp = img.shape
+    h, w = hp - 2 * halo, wp - 2 * r
     band = _BAND
     assert h % band == 0
     if w > w_out:
@@ -338,7 +361,8 @@ def window_read_codes(
         )
     out = pl.pallas_call(
         partial(
-            _window_read_kernel, radius=r, chans=chans, band=band, width=w
+            _window_read_kernel, radius=r, halo=halo, chans=chans,
+            band=band, width=w,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
@@ -351,7 +375,7 @@ def window_read_codes(
                 (1, chans, band, w), lambda b, i: (b, 0, i, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((chans, band + 2 * r, wp), jnp.int32),
+                pltpu.VMEM((chans, band + 2 * halo, wp), jnp.int32),
                 pltpu.SemaphoreType.DMA(()),
             ],
         ),
