@@ -133,8 +133,11 @@ def radius_search(
     truncated by ``max_results`` (or, on the grid backend, whose tile budget
     clipped candidates); without a flag the result is exact.
 
-    ``backend``: ``'auto'`` (grid for large L2 2D/3D problems, else brute),
-    ``'grid'`` (:func:`..gridhash.radius_search_grid`), ``'pruned'``
+    ``backend``: ``'auto'`` (on TPU, large 3-D L2 searches with a small
+    cap — ``max_results ≤ 16`` — take the compacted-pair Pallas kernel,
+    the fastest measured backend for that shape; other large L2 2D/3D
+    problems take the grid; everything else brute), ``'grid'``
+    (:func:`..gridhash.radius_search_grid`), ``'pruned'``
     (:func:`..pallas_nn.radius_search_pruned` — the compacted-pair Pallas
     kernel; TPU, L2, 3D only), or ``'brute'``.
     """
@@ -144,35 +147,28 @@ def radius_search(
             "backend='grid' supports the L2 metric in 2D/3D only "
             f"(got metric={metric!r}, D={d})"
         )
-    if backend == "pruned":
-        if metric != "l2" or d != 3:
-            raise ValueError(
-                "backend='pruned' supports the L2 metric in 3D only "
-                f"(got metric={metric!r}, D={d})"
-            )
-        from .pallas_nn import radius_search_pruned
-
-        dist, idx, over = radius_search_pruned(
-            queries,
-            keys,
-            radius,
-            max_results,
-            query_valid=query_valid,
-            key_valid=key_valid,
-            exclude_self=exclude_self,
-        )
-        return _finish(dist, idx, over)
     big = queries.shape[0] * keys.shape[0] >= 1 << 26
     if (
         backend == "auto"
         and metric == "l2"
         and d == 3
         and big
+        and max_results <= 16
         and jax.default_backend() == "tpu"
     ):
-        # Large 3-D L2 on the chip: the compacted-pair kernel backend
-        # dominates the gather-grid one (r4 measured 94 vs 138-181 ms at
-        # the 120k/1cm bench row) with the same exactness contract.
+        # Large 3-D L2 on the chip with a small cap: the compacted-pair
+        # kernel dominates the gather-grid backend (r4 measured 94 vs
+        # 138-181 ms at the 120k/1cm/cap-10 bench row) with the same
+        # exactness contract. Its cost scales with the cap (it runs a
+        # (max_results+1)-slot top-k fold per query), so large caps —
+        # unmeasured territory — keep the grid path.
+        backend = "pruned"
+    if backend == "pruned":
+        if metric != "l2" or d != 3:
+            raise ValueError(
+                "backend='pruned' supports the L2 metric in 3D only "
+                f"(got metric={metric!r}, D={d})"
+            )
         from .pallas_nn import radius_search_pruned
 
         dist, idx, over = radius_search_pruned(

@@ -251,18 +251,31 @@ def identity_warp(num_nodes: int, dim: int = 3) -> Transform:
     )
 
 
+def _nodes_packed(node_tf: Transform) -> jax.Array:
+    """Per-node transforms packed as ONE ``(M, D·D + D)`` row array
+    (linear then translation) so graph gathers cost one row each —
+    indexed ops price rows, not bytes. Split with :func:`_split_packed`."""
+    m, d = node_tf.translation.shape
+    return jnp.concatenate(
+        [node_tf.linear.reshape(m, d * d), node_tf.translation], axis=1
+    )
+
+
+def _split_packed(pa: jax.Array, d: int):
+    """Gathered packed rows → ``(lin (..., D, D), tr (..., D))``."""
+    lin = pa[..., : d * d].reshape(pa.shape[:-1] + (d, d))
+    return lin, pa[..., d * d:]
+
+
 def warp_points(
     graph: DeformationGraph, node_tf: Transform, points: jax.Array
 ) -> jax.Array:
     """Blend node transforms per point and apply: the dense-field application
     of ``resampleTransforms`` fused with ``transformPoints``."""
-    m, d = node_tf.translation.shape
-    packed = jnp.concatenate(  # ONE anchor gather (rows, not bytes)
-        [node_tf.linear.reshape(m, d * d), node_tf.translation], axis=1
-    )
-    pa = packed[graph.anchors]  # (N, K, D·D + D)
-    lin = pa[..., : d * d].reshape(pa.shape[0], pa.shape[1], d, d)
-    tr = pa[..., d * d:]  # (N, K, D)
+    d = node_tf.translation.shape[1]
+    lin, tr = _split_packed(
+        _nodes_packed(node_tf)[graph.anchors], d
+    )  # (N, K, D, D), (N, K, D)
     w = graph.anchor_weights
     blended_lin = jnp.einsum("nk,nkij->nij", w, lin)
     blended_tr = jnp.einsum("nk,nki->ni", w, tr)
@@ -379,12 +392,9 @@ def estimate_warp_field(
         # (M, D·D + D) gather instead of separate linear/translation
         # gathers — indexed ops price rows, not bytes (~12 ms saved per
         # outer iteration at bench scale).
-        packed_tf = jnp.concatenate(
-            [node_tf.linear.reshape(m, d * d), node_tf.translation], axis=1
-        )
-        pa = packed_tf[graph.anchors]  # (N, K, D·D + D)
-        lin_a = pa[..., : d * d].reshape(n, -1, d, d)  # (N, K, D, D)
-        tr_a = pa[..., d * d:]
+        lin_a, tr_a = _split_packed(
+            _nodes_packed(node_tf)[graph.anchors], d
+        )  # (N, K, D, D), (N, K, D)
         y = jnp.einsum("nkij,nj->nki", lin_a, src_points) + tr_a  # (N, K, D)
         wa = graph.anchor_weights  # (N, K)
         x = jnp.einsum("nk,nki->ni", wa, y)  # blended warped points

@@ -379,13 +379,19 @@ def run_fusion_sequence_scanned(
         )
         return fmap, mats, iters
 
-    # Warm (compile) once, then time.
+    # Warm (compile) once — with a hard drain (block_until_ready returns
+    # early on the remote-tunnel backend) — then time best-of-2: the tunnel
+    # shows transient multi-second stalls and a single sample would hand
+    # the headline row to one.
     fmap, mats, iters = run(fmap0, depth_stack)
     n_map = int(fmap.num_points())
-    t0 = time.perf_counter()
-    fmap, mats, iters = run(fmap0, depth_stack)
-    n_map = int(fmap.num_points())
-    dt = (time.perf_counter() - t0) / max(len(depths) - 1, 1)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fmap, mats, iters = run(fmap0, depth_stack)
+        n_map = int(fmap.num_points())
+        best = min(best, time.perf_counter() - t0)
+    dt = best / max(len(depths) - 1, 1)
 
     mats_np = np.asarray(mats)
     poses = [np.eye(4, dtype=np.float32)] + [m for m in mats_np]

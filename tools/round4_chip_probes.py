@@ -228,9 +228,47 @@ def part_nnsweep():
                lambda o: np.asarray(o[0][:1]))
 
 
+def part_gnsplit():
+    """Batched-GN stage bisect (y gathers / rhs / full GN) at B=8 bench
+    scale — the probe that located the 644-of-808-ms block-building wall
+    (now fixed by the closed-form SoA assembly; re-running shows the
+    post-fix budget)."""
+    from cilantro_tpu.registration.warp_field_batched import (
+        estimate_warp_field_batched, identity_warp_batched,
+        warp_points_batched,
+    )
+
+    src = _cloud()
+    B = 8
+    srcj = jnp.asarray(src)
+    n = len(src)
+    graph = _bench_graph(srcj)
+    node_tf = identity_warp_batched(B, graph.num_nodes)
+    dgt = jnp.asarray(
+        np.stack([src + np.float32([0, 0.001 * b, 0.002])
+                  for b in range(B)]).transpose(1, 0, 2)
+    )
+    w = jnp.ones((n, B), jnp.float32)
+    _timed(
+        "y (warp_points_batched: anchor gather + blend)",
+        lambda: jax.jit(warp_points_batched, static_argnums=())(
+            graph, node_tf, srcj
+        ),
+        lambda o: np.asarray(o[:1, 0]),
+    )
+    _timed(
+        "full batched GN (1 iter)",
+        lambda: estimate_warp_field_batched(
+            graph, srcj, dgt, None, w, point_weight=1.0, plane_weight=0.0,
+            stiffness=50.0, max_gn_iterations=1,
+        ),
+        lambda o: np.asarray(o[0].translation[:, :1]),
+    )
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     part = sys.argv[1] if len(sys.argv) > 1 else "layout"
-    {"layout": part_layout, "warp": part_warp,
+    {"layout": part_layout, "warp": part_warp, "gnsplit": part_gnsplit,
      "splatit": part_splatit, "nnsweep": part_nnsweep}[part]()
     print("DONE", flush=True)
