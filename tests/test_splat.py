@@ -205,3 +205,37 @@ def test_splat_scanned_matches_host_loop():
     _, poses_s, _ = run_splat_sequence_scanned(depths, k, cfg=cfg)
     for a, b in zip(poses_h, poses_s):
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_splat_argmin2_halo_across_radii():
+    """The sublane-halo padding (halo = radius rounded up to 4) must keep
+    elections exact for every radius class: halo > r (r=1,2,3), halo == r
+    (r=4), and the next halo step (r=5 -> halo 8). Radius 2 faulted the
+    real chip before the halo fix; the bench smoke covers on-chip, this
+    pins the wrapper arithmetic for all classes in interpret mode."""
+    rng = np.random.default_rng(7)
+    for r in (1, 3, 5):
+        w2 = 2 * r + 1
+        layers, h, w = 2, 32, 40
+        key = rng.random((layers, h, w)).astype(np.float32)
+        off = rng.integers(-1, w2 * w2, size=(layers, h, w)).astype(np.int32)
+        key[off < 0] = np.inf
+        bk, bc, _, _ = splat_argmin2(
+            pad_hw(jnp.asarray(key), r, jnp.inf)[None],
+            pad_hw(jnp.asarray(off), r, -1)[None],
+            radius=r,
+        )
+        best = np.full((h, w), np.inf, np.float32)
+        for li in range(layers):
+            for y in range(h):
+                for x in range(w):
+                    oc = off[li, y, x]
+                    if oc < 0:
+                        continue
+                    dv, du = divmod(int(oc), w2)
+                    ty, tx = y + dv - r, x + du - r
+                    if 0 <= ty < h and 0 <= tx < w:
+                        best[ty, tx] = min(best[ty, tx], key[li, y, x])
+        np.testing.assert_allclose(
+            np.asarray(bk[0]), best, err_msg=f"radius {r}"
+        )
