@@ -772,6 +772,12 @@ def main():
     if splat_out is not None and splat_out[0] < tpu_dt:
         best_dt, best_ate = splat_out
         pipeline = "splat"
+        # The denominator is the pool-algorithm C++ pipeline; when the splat
+        # pipeline wins the headline, also log the same-algorithm (pool vs
+        # pool) ratio so the cross-algorithm headline ratio is never the
+        # only number on record (ADVICE r4 #4).
+        log(f"pool-pipeline vs_baseline (same algorithm as the CPU "
+            f"denominator): {cpu_dt/tpu_dt:.2f}x")
 
     # HEADLINE — printed before the remaining stages so a lost secondary
     # cannot cost the round's record.
@@ -786,6 +792,10 @@ def main():
                     f"{FRAMES} frames{smoke_suffix})"
                 ),
                 "vs_baseline": round(cpu_dt / best_dt, 2),
+                # Which pipeline the numerator came from: "splat" means the
+                # ratio compares the faster splat pipeline against the
+                # pool-algorithm CPU denominator (ADVICE r4 #4).
+                "pipeline": pipeline,
             }
         ),
         flush=True,

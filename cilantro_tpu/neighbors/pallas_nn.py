@@ -936,11 +936,11 @@ def knn_pruned(
     # queries and keys are POSITIONALLY the same cloud. "Self" is then the
     # sorted-space diagonal — masked inside the kernel (one VPU compare per
     # block) instead of the old k+1 search + _drop_self_slot postlude, whose
-    # two (Q, k) take_along_axis gathers cost ~20 ms at 120k on chip. When
-    # query_valid and key_valid are DIFFERENT masks the two Morton sorts
-    # would diverge (invalid points sort last) and the diagonal would no
-    # longer be self — ADVICE r3 #1 measured 254/300 self-returns there —
-    # so that case shares ONE permutation for both sides below.
+    # two (Q, k) take_along_axis gathers cost ~20 ms at 120k on chip. Two
+    # independently-sorted sides with different validity masks would make
+    # the diagonal no longer self (ADVICE r3 #1 measured 254/300
+    # self-returns there), so exclude_self always shares ONE permutation
+    # for both sides below.
     qn = queries.shape[0]
     mn = keys.shape[0]
     if exclude_self and qn != mn:
@@ -969,12 +969,15 @@ def knn_pruned(
     origin = jnp.minimum(
         jnp.min(jnp.where(qv[:, None], queries, big), axis=0), kext_min
     )
-    if exclude_self and query_valid is not key_valid:
-        # Mismatched (or one-sided) validity masks: one SHARED permutation,
-        # sorted by the union validity, keeps sorted row i == sorted key i
-        # == the same original point, so the kernel's diagonal mask stays
-        # exactly the self-pairs. Costs only AABB tightness (a side's
-        # invalid points no longer compact to the tail).
+    if exclude_self:
+        # One SHARED permutation, sorted by the union validity: sorted row i
+        # == sorted key i == the same original point, so the kernel's
+        # diagonal mask stays exactly the self-pairs whatever validity-mask
+        # OBJECTS the caller passed (exclude_self's contract says the two
+        # sides are positionally one cloud, so object identity of the masks
+        # must not change dispatch — ADVICE r4 #3). Costs only AABB
+        # tightness (a side's invalid points no longer compact to the tail)
+        # and saves the second redundant Morton sort.
         perm, _, _ = _morton_sort(queries, qv | kv, origin, r0)
         qperm = kperm = perm
         qs, ks = queries[perm], keys[perm]

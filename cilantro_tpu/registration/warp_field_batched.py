@@ -120,6 +120,22 @@ def estimate_warp_field_batched(
     m = graph.num_nodes
     n, d = src_points.shape
     assert d == 3
+    # The pair caches are laid out for a specific (N, K, A): a graph built
+    # from a different/subsampled cloud would make the vals[pair_order]
+    # gather read wrong rows (JAX clamps OOB gather indices under jit ->
+    # a silently wrong Hessian). Mirror the single solver's length gate
+    # (warp_field.py have_pair_caches) as a hard error (ADVICE r4 #1).
+    _k_anch = graph.anchors.shape[1]
+    _t_blocks = _k_anch * (_k_anch + 1) // 2
+    _n_pad = max(1, -(-n // _ASSEMBLY_CHUNK)) * _ASSEMBLY_CHUNK
+    _expect = _n_pad * _t_blocks + 3 * graph.arc_i.shape[0]
+    assert graph.pair_order.shape[0] == _expect, (
+        f"pair caches were built for a different cloud/graph shape: "
+        f"pair_order has {graph.pair_order.shape[0]} rows, this problem "
+        f"needs {_expect} (= {_n_pad}*{_t_blocks} pair rows + "
+        f"3*{graph.arc_i.shape[0]} arc rows); rebuild the graph from the "
+        f"source cloud passed here"
+    )
     bsz = corr_weights.shape[1]
     k_anch = graph.anchors.shape[1]
     node_tf = (
@@ -399,6 +415,7 @@ def _icp_batched_impl(
     dst_points_b,
     dst_normals_b,
     src_valid,
+    dst_valid_b,
     point_weight,
     plane_weight,
     stiffness,
@@ -422,6 +439,7 @@ def _icp_batched_impl(
     plans = [
         maybe_make_nn1_prune_plan(
             dst_points_b[b], max_corr_dist_sq, src_points,
+            key_valid=None if dst_valid_b is None else dst_valid_b[b],
             query_valid=src_valid,
         )
         for b in range(bsz)
@@ -437,11 +455,18 @@ def _icp_batched_impl(
         for b in range(bsz):  # unrolled: per-stream kernels/plans
             q = warped[:, b]
             if use_planned:
+                # Per-stream key invalidation rides the plan (key_valid was
+                # folded into the plan's augmented keys above).
                 dist, idx = nn1_pruned_planned(q, plans[b])
             else:
                 from ..neighbors import nn1
 
-                dist, idx = nn1(q, dst_points_b[b])
+                dist, idx = nn1(
+                    q, dst_points_b[b],
+                    key_valid=(
+                        None if dst_valid_b is None else dst_valid_b[b]
+                    ),
+                )
             mask = (
                 (dist <= max_corr_dist_sq)
                 & (dist < INVALID_DIST * 0.5)
@@ -503,6 +528,7 @@ def icp_warp_field_batched(
     *,
     dst_normals_b: Optional[jax.Array] = None,
     src_valid: Optional[jax.Array] = None,
+    dst_valid_b: Optional[jax.Array] = None,  # (B, N) per-stream key masks
     max_corr_dist_sq: float = 0.0025,
     point_weight: float = 0.1,
     plane_weight: float = 1.0,
@@ -515,8 +541,11 @@ def icp_warp_field_batched(
     """B-stream twin of :func:`..registration.icp_warp_field`: one shared
     template + EDG graph registered to B target clouds in ONE program.
 
-    The per-stream NN searches cannot share work (each stream has its own
-    key cloud and prune plan) and run unrolled inside the outer body; the
+    ``dst_valid_b`` masks padded/invalid rows of each stream's target out
+    of the NN search (ADVICE r4 #2): omitted, all target rows are treated
+    as real keys. The per-stream NN searches cannot share work (each
+    stream has its own key cloud and prune plan) and run unrolled inside
+    the outer body; the
     GN solve is ONE batched :func:`estimate_warp_field_batched`. All
     streams iterate in lockstep until every stream's node-motion update
     drops below tolerance. Returns ``(transforms (B, M, …), iterations,
@@ -530,6 +559,7 @@ def icp_warp_field_batched(
         dst_normals_b = jnp.zeros_like(dst_points_b)  # unused when gated off
     return _icp_batched_impl(
         graph, src_points, dst_points_b, dst_normals_b, src_valid,
+        dst_valid_b,
         point_weight, plane_weight, stiffness, huber_delta,
         convergence_tol, max_corr_dist_sq,
         max_iterations=max_iterations,
