@@ -15,7 +15,14 @@ from .driver import (  # noqa: F401
     FusionMetrics,
     ate_rmse,
     run_fusion_sequence,
+    synthetic_panorama_sequence,
     synthetic_sequence,
+)
+from .slam import (  # noqa: F401
+    SlamConfig,
+    SlamResult,
+    integrate_sequence,
+    run_slam,
 )
 from .fusion import fusion_step  # noqa: F401
 from .keyframes import (  # noqa: F401

@@ -319,6 +319,131 @@ def synthetic_sequence(
     return depths, poses
 
 
+def synthetic_panorama_sequence(
+    num_frames: int,
+    h: int,
+    w: int,
+    intrinsics: CameraIntrinsics,
+    *,
+    seed: int = 0,
+    sweep_deg: float = 360.0,
+    room_radius: float = 2.5,
+    depth_noise: float = 0.02,
+    cache_dir: Optional[str] = None,
+) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """In-place panorama sweep with DRIFT-INDUCING depth noise — the SLAM
+    loop-closure workload (:func:`cilantro_tpu.slam.run_slam`).
+
+    The camera sits at the origin and yaws through ``sweep_deg`` in equal
+    steps, viewing a wavy cylindrical room. Each frame's depth is warped by
+    a smooth low-frequency random field of relative amplitude
+    ``depth_noise``: unlike white noise (which averages out over 10⁵ pixels
+    and leaves frame-to-model tracking drift-free), correlated error biases
+    each localization by a random ~0.1-0.5° — so odometry accumulates a
+    random-walk yaw drift that only a loop closure can remove. Returns
+    ``(depths, ground-truth camera-to-world poses)``.
+    """
+    cache_path = None
+    if cache_dir is not None:
+        import os as _os
+
+        _os.makedirs(cache_dir, exist_ok=True)
+        cache_path = _os.path.join(
+            cache_dir,
+            f"pano_{num_frames}x{h}x{w}_s{seed}_d{sweep_deg:g}"
+            f"_n{depth_noise:g}_r{room_radius:g}.npz",
+        )
+        if _os.path.exists(cache_path):
+            try:
+                with np.load(cache_path) as z:
+                    return [d for d in z["depths"]], [p for p in z["poses"]]
+            except Exception:
+                pass
+    rng = np.random.default_rng(seed)
+    fx = float(np.asarray(intrinsics.fx))
+    fy = float(np.asarray(intrinsics.fy))
+    cx = float(np.asarray(intrinsics.cx))
+    cy = float(np.asarray(intrinsics.cy))
+
+    # Wavy cylindrical room around the origin (dense angular sampling so
+    # every view direction sees surface).
+    n_th = max(4096, 10 * w)
+    n_y = 4 * h
+    th = np.linspace(0.0, 2 * np.pi, n_th, endpoint=False)
+    yy = np.linspace(-1.4, 1.4, n_y)
+    tg, yg = np.meshgrid(th, yy)
+    # Feature-rich wall: a random-phase sum of cross-coupled θ/y modes.
+    # A smooth cylinder is yaw↔lateral-slide degenerate under
+    # partial-overlap ICP (measured: ~0.3 m tangential slide at converged
+    # residual), and a REGULAR bump pattern aliases into false minima
+    # (measured: a consistent ~11° lock-in offset); integer θ frequencies
+    # keep the 2π seam continuous while random phases/mixtures leave one
+    # global basin. The texture is a fixed property of the scene (seeded
+    # separately from the per-frame noise).
+    rng_scene = np.random.default_rng(10_000 + seed)
+    r = room_radius + 0.18 * np.sin(3.0 * tg) * np.cos(2.0 * yg)
+    for _ in range(16):
+        f_th = int(rng_scene.integers(2, 26))
+        f_y = float(rng_scene.uniform(0.0, 6.0))
+        amp = float(rng_scene.uniform(0.5, 1.0)) * 0.55 / (2.0 + f_th)
+        r = r + amp * np.sin(
+            f_th * tg + rng_scene.uniform(0, 2 * np.pi)
+        ) * np.cos(f_y * yg + rng_scene.uniform(0, 2 * np.pi))
+    scene = np.column_stack(
+        [(r * np.sin(tg)).ravel(), yg.ravel(), (r * np.cos(tg)).ravel()]
+    ).astype(np.float32)
+
+    def render_depth(cam_pts: np.ndarray) -> np.ndarray:
+        z = cam_pts[:, 2]
+        ok = z > 0.1
+        u = np.round(cam_pts[:, 0] * fx / np.where(ok, z, 1.0) + cx).astype(np.int64)
+        v = np.round(cam_pts[:, 1] * fy / np.where(ok, z, 1.0) + cy).astype(np.int64)
+        ok &= (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        pix = v[ok] * w + u[ok]
+        zbuf = np.full(h * w, np.inf, np.float32)
+        np.minimum.at(zbuf, pix, z[ok].astype(np.float32))
+        return np.where(np.isinf(zbuf), 0.0, zbuf).reshape(h, w)
+
+    def smooth_noise() -> np.ndarray:
+        coarse = rng.standard_normal((6, 8)).astype(np.float32)
+        from scipy.ndimage import zoom
+
+        f = zoom(coarse, (h / 6.0, w / 8.0), order=1)[:h, :w]
+        return 1.0 + depth_noise * f
+
+    depths, poses = [], []
+    for i in range(num_frames):
+        ang = np.deg2rad(sweep_deg) * i / num_frames
+        rmat = np.array(
+            [
+                [np.cos(ang), 0, np.sin(ang)],
+                [0, 1, 0],
+                [-np.sin(ang), 0, np.cos(ang)],
+            ],
+            np.float32,
+        )
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = rmat
+        poses.append(pose)
+        cam_pts = scene @ rmat  # camera at origin: Rᵀ · X rowwise
+        dn = render_depth(cam_pts.astype(np.float32))
+        holes = dn == 0
+        if holes.any():
+            from scipy.ndimage import grey_dilation
+
+            filled = grey_dilation(np.where(holes, 0.0, dn), size=3)
+            dn = np.where(holes, filled, dn)
+        depths.append((dn * smooth_noise()).astype(np.float32))
+    if cache_path is not None:
+        import os as _os
+
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, depths=np.stack(depths), poses=np.stack(poses))
+        _os.replace(tmp, cache_path)
+    return depths, poses
+
+
 def run_fusion_sequence_scanned(
     depths: Sequence[np.ndarray],
     intrinsics: CameraIntrinsics,

@@ -118,12 +118,17 @@ def spawn_keyframe(
         if normals is None
         else (normals if valid is None else normals[valid])
     )
-    step = max(len(pts) // subsample, 1)
+    # EXACTLY min(subsample, len) rows via even selection: keyframe clouds
+    # then share one static shape, so the loop-closure ICP program compiles
+    # once per run instead of once per (valid-count) pair.
+    sel = np.linspace(
+        0, len(pts) - 1, min(subsample, len(pts))
+    ).astype(np.int64)
     kf = Keyframe(
         index=frame_index,
         pose=pose.copy(),
-        points=np.asarray(pts[::step], np.float32),
-        normals=None if nrm is None else np.asarray(nrm[::step], np.float32),
+        points=np.asarray(pts[sel], np.float32),
+        normals=None if nrm is None else np.asarray(nrm[sel], np.float32),
     )
     kid = graph.add_keyframe(kf)
     if kid > 0:
@@ -137,11 +142,20 @@ def detect_loop_closures(
     *,
     min_separation: int = 3,
     max_translation: float = 0.3,
+    max_rotation_deg: Optional[float] = None,
     icp_max_corr_dist_sq: float = 0.01,
+    icp_levels: Optional[tuple] = None,
+    convergence_tol: float = 1e-4,
     weight: float = 1.0,
 ) -> int:
     """Register spatially-close, temporally-distant keyframe pairs with
-    multires ICP and add loop-closure edges. Returns #edges added."""
+    multires ICP and add loop-closure edges. Returns #edges added.
+
+    ``max_rotation_deg`` additionally gates candidate pairs on relative
+    orientation — essential for rotation-dominant trajectories (an in-place
+    panorama sweep keeps every keyframe within ``max_translation`` of every
+    other, and without the orientation gate the candidate set is all
+    O(K²) pairs, most with zero view overlap)."""
     from ..registration import icp_multires
 
     added = 0
@@ -160,19 +174,33 @@ def detect_loop_closures(
                 > max_translation
             ):
                 continue
+            if max_rotation_deg is not None:
+                rel = a.pose[:3, :3].T @ b.pose[:3, :3]
+                ang = np.degrees(
+                    np.arccos(np.clip((np.trace(rel) - 1.0) / 2.0, -1.0, 1.0))
+                )
+                if ang > max_rotation_deg:
+                    continue
             # Register frame j onto frame i in i's camera frame; initial
             # guess from current pose estimates.
             z0 = relative_pose(a.pose, b.pose)
             init = Transform(
                 jnp.asarray(z0[:3, :3]), jnp.asarray(z0[:3, 3])
             )
+            levels = icp_levels
+            if levels is None:
+                levels = (
+                    (0.04, 6, 8192, 0.01),
+                    (None, 4, None, icp_max_corr_dist_sq),
+                )
             res = icp_multires(
                 jnp.asarray(b.points),
                 jnp.asarray(a.points),
                 src_normals=None if b.normals is None else jnp.asarray(b.normals),
                 dst_normals=None if a.normals is None else jnp.asarray(a.normals),
                 init=init,
-                levels=((0.04, 6, 8192, 0.01), (None, 4, None, icp_max_corr_dist_sq)),
+                levels=levels,
+                convergence_tol=convergence_tol,
                 metric="combined" if a.normals is not None else "point_to_point",
             )
             z = np.eye(4, dtype=np.float32)

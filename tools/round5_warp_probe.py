@@ -1,0 +1,311 @@
+"""Round-5 probe: where the single-stream non-rigid solve's 1.95 s goes,
+and whether the three candidate levers pay (VERDICT r4 next-round #1):
+
+  1 full   — current icp_warp_field 10-outer reference number
+  2 nn     — planned NN pass: current static budget (n_qt*29 steps) vs the
+             same kernel at smaller budgets (the compact grid runs its
+             STATIC budget of steps — pad steps repeat the last pair — so
+             per-pass cost should be ~linear in budget, making an
+             adaptive-radius small-budget pass the lever)
+  3 chol   — XLA cholesky across sizes, a hand-blocked right-looking
+             prototype (explicit diag-block inverse -> all-MXU panels),
+             cho_solve cost
+  4 pieces — pair-value gather width (36 vs 12 vs 8 wide rows at 1.2M),
+             sorted segment_sum, the (M*M,36)->(6M,6M) layout dance
+  5 par    — do two XLA compiles overlap when issued from two threads?
+             (decides the bench prewarm design, VERDICT r4 #2)
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/round5_warp_probe.py 1 2 ...
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tools.honest_bench import op_time
+
+
+def _graph_and_clouds():
+    from cilantro_tpu.core.containers import PointCloud
+    from cilantro_tpu.core.grid import grid_downsample
+    from cilantro_tpu.registration import build_deformation_graph
+    from cilantro_tpu.utils import read_point_cloud
+
+    src, _, _ = read_point_cloud(
+        "/root/reference/examples/test_clouds/frame_1.ply"
+    )
+    dst = src.copy()
+    dst[:, 2] += 0.02 * np.sin(8.0 * src[:, 0])
+    dst[:, 1] += 0.01 * np.cos(6.0 * src[:, 0])
+    srcj, dstj = jax.device_put((src, dst))
+    ctrl = grid_downsample(PointCloud(points=srcj), 0.025, capacity=1024)
+    occ = np.asarray(ctrl.points)[np.asarray(ctrl.valid)]
+    cap = -(-len(occ) // 32) * 32
+    nodes = np.zeros((cap, 3), np.float32)
+    nodes[: len(occ)] = occ
+    nv = np.arange(cap) < len(occ)
+    graph = build_deformation_graph(
+        srcj, jnp.asarray(nodes), node_valid=jnp.asarray(nv),
+        k_anchors=4, k_arcs=8,
+    )
+    return graph, srcj, dstj
+
+
+def part_full():
+    from cilantro_tpu.registration import icp_warp_field
+
+    graph, srcj, dstj = _graph_and_clouds()
+    kw = dict(max_corr_dist_sq=0.0025, point_weight=1.0, plane_weight=0.0,
+              stiffness=50.0, max_iterations=10, max_cg_iterations=200)
+
+    t0 = time.perf_counter()
+    tf, it, _ = icp_warp_field(graph, srcj, dstj, **kw)
+    np.asarray(tf.translation[:1])
+    print(f"FULL compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        tf, it, _ = icp_warp_field(graph, srcj, dstj, **kw)
+        np.asarray(tf.translation[:1])
+        print(f"FULL warm: {time.perf_counter()-t0:.2f}s ({int(it)} outer)",
+              flush=True)
+
+
+def part_nn():
+    from cilantro_tpu.neighbors.pallas_nn import (
+        _augment_queries, _nn1_pallas_compact,
+        _tile_aabbs, maybe_make_nn1_prune_plan, nn1_pruned_planned,
+    )
+
+    graph, srcj, dstj = _graph_and_clouds()
+    plan = maybe_make_nn1_prune_plan(dstj, 0.0025, srcj)
+    assert plan is not None
+
+    r = op_time(lambda q: nn1_pruned_planned(q, plan), (srcj,), lo=1, hi=5)
+    print(f"NN planned pass (current):      {r}", flush=True)
+
+    # Pair-count telemetry + budget-scaling of the compact kernel.
+    tile_q, tile_m = plan.tile_q, plan.tile_m
+    qs = srcj[plan.qperm]
+    qmin, qmax, q_occ = _tile_aabbs(qs, plan.qvs, tile_q)
+    from cilantro_tpu.neighbors.gridhash import _aabb_dist2
+
+    aabb_d2 = _aabb_dist2(qmin, qmax, plan.kmin, plan.kmax)
+    n_qt = qmin.shape[0]
+    n_mt = plan.kp.shape[0] // tile_m
+    for rr, label in ((0.05, "gate 5cm"), (0.01, "1cm"), (0.004, "4mm")):
+        within = (aabb_d2 <= rr * rr) & q_occ[:, None] & plan.k_occ[None, :]
+        nearest = jnp.argmin(
+            jnp.where(plan.k_occ[None, :], aabb_d2, jnp.float32(3e38)), axis=1
+        )
+        within = within.at[jnp.arange(n_qt), nearest].set(True)
+        cnt = int(jnp.sum(within.astype(jnp.int32)))
+        print(f"  within pairs at {label}: {cnt} "
+              f"(n_qt={n_qt} n_mt={n_mt}, current budget="
+              f"{n_qt * min(max(n_mt // 4, 8), max(n_mt, 1))})", flush=True)
+
+    qp = _augment_queries(qs, tile_q)
+    within_gate = (aabb_d2 <= 0.0025) & q_occ[:, None] & plan.k_occ[None, :]
+    nearest = jnp.argmin(
+        jnp.where(plan.k_occ[None, :], aabb_d2, jnp.float32(3e38)), axis=1
+    )
+    within_gate = within_gate.at[jnp.arange(n_qt), nearest].set(True)
+    for mult in (4, 8, 29):
+        budget = n_qt * mult
+
+        def run(q, w):
+            d, i = _nn1_pallas_compact(
+                q, plan.kp, w, budget=budget,
+                tile_q=tile_q, tile_m=tile_m,
+            )
+            return jnp.minimum(d, 1e30)  # full output (op_time sums it)
+
+        r = op_time(run, (qp, within_gate), lo=1, hi=5)
+        print(f"NN compact budget n_qt*{mult} ({budget} steps): {r}",
+              flush=True)
+
+
+def _blocked_cholesky(a, nb):
+    n = a.shape[0]
+    nblk = n // nb
+    eye = jnp.eye(nb, dtype=a.dtype)
+    rows = jnp.arange(n)
+
+    def body(j, st):
+        a_cur, l_acc = st
+        j0 = j * nb
+        d = jax.lax.dynamic_slice(a_cur, (j0, j0), (nb, nb))
+        ld = jnp.linalg.cholesky(d)
+        ldinv = jax.scipy.linalg.solve_triangular(ld, eye, lower=True)
+        col = jax.lax.dynamic_slice(a_cur, (0, j0), (n, nb))
+        lcol = col @ ldinv.T
+        below = (rows[:, None] >= j0 + nb)
+        lcol = jnp.where(below, lcol, 0.0)
+        lcol = jax.lax.dynamic_update_slice(lcol, ld, (j0, 0))
+        a_cur = a_cur - lcol @ lcol.T
+        l_acc = jax.lax.dynamic_update_slice(l_acc, lcol, (0, j0))
+        return a_cur, l_acc
+
+    _, l = jax.lax.fori_loop(0, nblk, body, (a, jnp.zeros_like(a)))
+    return l
+
+
+def part_chol():
+    key = jax.random.PRNGKey(0)
+    for n in (512, 1024, 2048, 5184):
+        g = jax.random.normal(key, (n, n), jnp.float32)
+        spd = g @ g.T + n * jnp.eye(n, dtype=jnp.float32)
+        r = op_time(jnp.linalg.cholesky, (spd,), lo=1, hi=5)
+        print(f"CHOL xla n={n}: {r}", flush=True)
+    n = 5184
+    g = jax.random.normal(key, (n, n), jnp.float32)
+    spd = g @ g.T + n * jnp.eye(n, dtype=jnp.float32)
+    rhs = jax.random.normal(key, (n,), jnp.float32)
+    chol = jnp.linalg.cholesky(spd)
+    chol = jax.block_until_ready(chol)
+    r = op_time(
+        lambda c: jax.scipy.linalg.cho_solve((c, True), rhs), (chol,),
+        lo=1, hi=5,
+    )
+    print(f"CHO_SOLVE xla n={n} (1 rhs): {r}", flush=True)
+    # Blocked prototypes (pad 5184 -> multiple of nb with unit diagonal).
+    for nb in (256, 512):
+        npad = -(-n // nb) * nb
+        a = jnp.eye(npad, dtype=jnp.float32)
+        a = a.at[:n, :n].set(spd)
+        r = op_time(lambda x: _blocked_cholesky(x, nb), (a,), lo=1, hi=5)
+        # correctness
+        l = _blocked_cholesky(a, nb)
+        err = float(jnp.max(jnp.abs(l[:n, :n] - chol)) /
+                    jnp.max(jnp.abs(chol)))
+        print(f"CHOL blocked nb={nb} npad={npad}: {r}  relerr={err:.1e}",
+              flush=True)
+    # solve via explicit inv(L): one triangular inverse + two matvecs
+    r = op_time(
+        lambda c: jax.scipy.linalg.solve_triangular(
+            c, jnp.eye(n, dtype=jnp.float32), lower=True
+        ),
+        (chol,), lo=1, hi=3,
+    )
+    print(f"TRI-INV xla n={n}: {r}", flush=True)
+
+
+def part_pieces():
+    graph, srcj, dstj = _graph_and_clouds()
+    m = graph.num_nodes
+    n = srcj.shape[0]
+    key = jax.random.PRNGKey(0)
+    rorder = graph.pair_order
+    nrows = rorder.shape[0]
+    print(f"pair rows R={nrows} segments U={graph.pair_uniq_keys.shape[0]} "
+          f"m={m}", flush=True)
+    for width in (36, 12, 8):
+        vals = jax.random.normal(key, (nrows, width), jnp.float32)
+        r = op_time(lambda v: v[rorder], (vals,), lo=1, hi=5)
+        print(f"GATHER {nrows}x{width}: {r}", flush=True)
+    vals = jax.random.normal(key, (nrows, 36), jnp.float32)
+
+    def gather_seg_expand(v):
+        compact = jax.ops.segment_sum(
+            v[rorder], graph.pair_seg_ids,
+            num_segments=graph.pair_uniq_keys.shape[0],
+            indices_are_sorted=True,
+        )
+        acc = (
+            jnp.zeros((m * m, 36), jnp.float32)
+            .at[graph.pair_uniq_keys]
+            .set(compact, mode="drop", indices_are_sorted=True,
+                 unique_indices=True)
+        )
+        return acc
+
+    r = op_time(gather_seg_expand, (vals,), lo=1, hi=5)
+    print(f"GATHER+SEGSUM+EXPAND 36w: {r}", flush=True)
+
+    acc0 = jax.random.normal(key, (m * m, 36), jnp.float32)
+    p_par = 6
+
+    def layout(acc):
+        acc4 = acc.reshape(m, m, p_par, p_par)
+        h = jnp.stack(
+            [acc4[:, :, q, :].reshape(m, m * p_par) for q in range(p_par)],
+            axis=1,
+        ).reshape(m * p_par, m * p_par)
+        h = h + h.T
+        # The layout's cost is the materialization cholesky forces; summing
+        # h alone would let XLA fold the whole dance into sum(acc). Feed it
+        # to cholesky and compare against part 3's bare-cholesky number.
+        h = h + jnp.float32(1e4) * jnp.eye(m * p_par, dtype=jnp.float32)
+        return jnp.linalg.cholesky(h)
+
+    r = op_time(layout, (acc0,), lo=1, hi=5)
+    print(f"LAYOUT+SYM+CHOL {m*6}^2 (subtract part-3 chol): {r}", flush=True)
+
+    # One direct GN step with fixed correspondences (NN excluded).
+    from cilantro_tpu.correspondence.search import find_nn_correspondences
+    from cilantro_tpu.registration.warp_field import estimate_warp_field
+
+    corr = find_nn_correspondences(srcj, dstj, max_distance=0.0025)
+    w = corr.mask.astype(jnp.float32)
+    dgt = dstj[jnp.where(corr.mask, corr.dst_idx, 0)]
+
+    def gn1(s):
+        tf, _, _ = estimate_warp_field(
+            graph, s, dgt, None, w, point_weight=1.0, plane_weight=0.0,
+            stiffness=50.0, max_gn_iterations=1, solver="direct",
+        )
+        return tf.translation
+
+    r = op_time(gn1, (srcj,), lo=1, hi=3)
+    print(f"GN direct 1 step (no NN): {r}", flush=True)
+
+
+def _compile_heavy(seed, n_ops=160, size=640):
+    """A deliberately large HLO graph (distinct per seed) to time compiles."""
+    def f(x):
+        y = x
+        for i in range(n_ops):
+            y = jnp.tanh(y @ y.T * (1e-3 * (i + seed))) + x
+        return jnp.sum(y)
+
+    x = jnp.ones((size + seed, size + seed), jnp.float32)
+    t0 = time.perf_counter()
+    jax.jit(f).lower(x).compile()
+    return time.perf_counter() - t0
+
+
+def part_par():
+    import threading
+
+    t0 = time.perf_counter()
+    s1 = _compile_heavy(1)
+    s2 = _compile_heavy(2)
+    serial = time.perf_counter() - t0
+    print(f"PAR serial compiles: {s1:.1f}s + {s2:.1f}s = {serial:.1f}s",
+          flush=True)
+    out = {}
+    t0 = time.perf_counter()
+    ths = [
+        threading.Thread(target=lambda i=i: out.update({i: _compile_heavy(i)}))
+        for i in (3, 4)
+    ]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    par = time.perf_counter() - t0
+    print(f"PAR threaded compiles: {out.get(3, -1):.1f}s / "
+          f"{out.get(4, -1):.1f}s, wall {par:.1f}s "
+          f"-> overlap {'YES' if par < 0.75 * serial else 'NO'}", flush=True)
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices(), flush=True)
+    which = sys.argv[1:] or ["2"]
+    t_all = time.perf_counter()
+    for w in which:
+        {"1": part_full, "2": part_nn, "3": part_chol,
+         "4": part_pieces, "5": part_par}[w]()
+        print(f"-- part {w} done at {time.perf_counter()-t_all:.0f}s",
+              flush=True)
