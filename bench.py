@@ -421,6 +421,25 @@ def bench_nn(p1, p1j, p2j):
         f"{p_dt*1e3:.0f} ms ({len(p1)/p_dt/1e6:.2f} M queries/s)"
     )
 
+    # Single-core C++ kd-tree radius denominator (VERDICT r4 #7: this row
+    # shipped without a CPU number through round 4).
+    from cilantro_tpu.native import baseline_radius_native
+
+    rres = baseline_radius_native(
+        np.asarray(p1j), np.asarray(p1j), 0.01, 10, exclude_self=True
+    )
+    if rres is not None:
+        _, _, _, rb, rq = rres
+        rres2 = baseline_radius_native(
+            np.asarray(p1j), np.asarray(p1j), 0.01, 10, exclude_self=True
+        )
+        rb, rq = min(rb, rres2[3]), min(rq, rres2[4])
+        log(
+            f"  C++ kd-tree radius baseline: build {rb:.0f} ms + query "
+            f"{rq:.0f} ms ({len(p1)/rq*1e3/1e6:.2f} M queries/s) -> "
+            f"TPU pruned is {(rb+rq)/(p_dt*1e3):.1f}x"
+        )
+
     # Exact kNN k=10 (the dispatcher routes large L2 3-D through the
     # radius-doubling pruned kernel).
     dk, _ = knn(p1j, p1j, 10, exclude_self=True)
@@ -561,8 +580,11 @@ def bench_estimation_clustering():
         lambda p: fit_pca(p).eigenvectors,
         (pts,),
         cpu_ms=pca_cpu_ms,
-        lo=32,  # ~50 µs op: very long loops so the slope clears host noise
-        hi=256,
+        # ~50 µs op: the r4 32/256 counts left t_hi within noise of t_lo
+        # and the row shipped [SUSPECT] — 64/1024 puts ~50 ms of real work
+        # between the two samples (VERDICT r4 #7).
+        lo=64,
+        hi=1024,
     )
 
 

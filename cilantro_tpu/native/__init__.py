@@ -272,6 +272,56 @@ def baseline_knn_native(
     return out_i, out_d, b_ms.value, q_ms.value
 
 
+def baseline_radius_native(
+    keys: np.ndarray,
+    queries: np.ndarray,
+    radius: float,
+    max_neighbors: int,
+    *,
+    exclude_self: bool = False,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, float, float]]:
+    """Single-core C++ kd-tree radius query (CPU denominator for the radius
+    rows; same capped-list + overflow contract as the TPU
+    ``radius_search`` — reference ``core/kd_tree.hpp:236-273``).
+
+    Returns ``(idx (Q, k) int32 with -1 pads, dist² (Q, k), in-radius count
+    (Q,) int32, build_ms, query_ms)`` or None without a toolchain.
+    """
+    lib = _baseline_lib()
+    if lib is None:
+        return None
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    if not getattr(lib, "_radius_configured", False):
+        lib.baseline_radius.argtypes = [
+            fp, ctypes.c_int64, fp, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_int, ctypes.c_int,
+            ip, fp, ip,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.baseline_radius.restype = ctypes.c_int
+        lib._radius_configured = True
+    ks = np.ascontiguousarray(keys, np.float32)
+    qs = np.ascontiguousarray(queries, np.float32)
+    k = int(max_neighbors)
+    out_i = np.zeros((len(qs), k), np.int32)
+    out_d = np.zeros((len(qs), k), np.float32)
+    out_c = np.zeros(len(qs), np.int32)
+    b_ms = ctypes.c_double(0.0)
+    q_ms = ctypes.c_double(0.0)
+    rc = lib.baseline_radius(
+        ks.ctypes.data_as(fp), len(ks),
+        qs.ctypes.data_as(fp), len(qs),
+        float(radius) ** 2, k, 1 if exclude_self else 0,
+        out_i.ctypes.data_as(ip), out_d.ctypes.data_as(fp),
+        out_c.ctypes.data_as(ip),
+        ctypes.byref(b_ms), ctypes.byref(q_ms),
+    )
+    if rc != 0:
+        raise ValueError(f"baseline_radius failed ({rc})")
+    return out_i, out_d, out_c, b_ms.value, q_ms.value
+
+
 # ---------------------------------------------------------------------------
 # Single-core C++ fusion baseline (honest benchmark reference).
 # ---------------------------------------------------------------------------

@@ -132,4 +132,29 @@ int baseline_knn(const float* keys, int64_t n, const float* queries,
   return 0;
 }
 
+// Single-core kd-tree radius query baseline: up to k nearest within
+// sqrt(r2) per query (ascending), plus the true in-radius count in
+// out_count (count > k == overflow) — the CPU denominator for the TPU
+// radius rows (reference radius search: core/kd_tree.hpp:236-273).
+int baseline_radius(const float* keys, int64_t n, const float* queries,
+                    int64_t m, float r2, int k, int exclude_self,
+                    int* out_idx, float* out_d2, int* out_count,
+                    double* out_build_ms, double* out_query_ms) {
+  if (!keys || !queries || n <= 0 || m <= 0 || k <= 0 || r2 <= 0) return -1;
+  auto t0 = std::chrono::steady_clock::now();
+  KDTree tree;
+  tree.build(keys, int(n));
+  auto t1 = std::chrono::steady_clock::now();
+  for (int64_t i = 0; i < m; i++) {
+    out_count[i] = tree.radius_knn(queries + 3 * i, r2, k,
+                                   exclude_self ? int(i) : -1,
+                                   out_idx + size_t(i) * k,
+                                   out_d2 + size_t(i) * k);
+  }
+  auto t2 = std::chrono::steady_clock::now();
+  *out_build_ms = std::chrono::duration<double, std::milli>(t1 - t0).count();
+  *out_query_ms = std::chrono::duration<double, std::milli>(t2 - t1).count();
+  return 0;
+}
+
 }  // extern "C"

@@ -89,12 +89,57 @@ struct KDTree {
     return k_cnt;
   }
 
+  // Up to k nearest neighbors within radius sqrt(r2), ascending; returns
+  // the TOTAL number of in-radius neighbors (> k signals overflow — the
+  // same contract as the TPU radius_search's capped lists + overflow
+  // flag; reference radius search: core/kd_tree.hpp:236-273).
+  int radius_knn(const float* q, float r2, int k, int self, int* out_i,
+                 float* out_d2) const {
+    k_cap = k;
+    k_cnt = 0;
+    k_self = self;
+    k_i = out_i;
+    k_d2 = out_d2;
+    r_total = 0;
+    r_bound = r2;
+    search_r(0, q);
+    for (int i = k_cnt; i < k; i++) {
+      out_i[i] = -1;
+      out_d2[i] = 3.0e38f;
+    }
+    return r_total;
+  }
+
  private:
   mutable int best_i;
   mutable float best_d2;
   mutable int k_cap, k_cnt, k_self;
   mutable int* k_i;
   mutable float* k_d2;
+  mutable int r_total;
+  mutable float r_bound;
+
+  void search_r(int node_id, const float* q) const {
+    const KDNode& nd = nodes[node_id];
+    if (nd.axis < 0) {
+      for (int i = nd.left; i < nd.right; i++) {
+        if (idx[i] == k_self) continue;
+        const float* p = pts + 3 * idx[i];
+        float dx = p[0] - q[0], dy = p[1] - q[1], dz = p[2] - q[2];
+        float d2 = dx * dx + dy * dy + dz * dz;
+        if (d2 <= r_bound) {
+          r_total++;
+          insert_k(idx[i], d2);
+        }
+      }
+      return;
+    }
+    float diff = q[nd.axis] - nd.split;
+    int near = diff <= 0 ? nd.left : nd.right;
+    int far = diff <= 0 ? nd.right : nd.left;
+    search_r(near, q);
+    if (diff * diff <= r_bound) search_r(far, q);
+  }
 
   void search(int node_id, const float* q) const {
     const KDNode& nd = nodes[node_id];

@@ -226,3 +226,27 @@ def test_baseline_warp_recovers_deformation(rng):
     raw = np.median(np.linalg.norm(src - dst, axis=1))
     err = np.median(np.linalg.norm(warped - dst, axis=1))
     assert err < 0.35 * raw, (err, raw)
+
+
+def test_baseline_radius_matches_bruteforce(rng):
+    from cilantro_tpu.native import baseline_radius_native
+
+    pts = rng.random((3000, 3)).astype(np.float32)
+    r, cap = 0.06, 8
+    res = baseline_radius_native(pts, pts, r, cap, exclude_self=True)
+    if res is None:
+        import pytest
+
+        pytest.skip("no toolchain")
+    idx, d2, cnt, b_ms, q_ms = res
+    d = np.sum((pts[:, None, :] - pts[None, :, :]) ** 2, -1)
+    np.fill_diagonal(d, np.inf)
+    want_cnt = (d <= r * r).sum(1)
+    np.testing.assert_array_equal(cnt, want_cnt)
+    # Returned lists: the min(cap, count) nearest within r, ascending.
+    for i in rng.integers(0, 3000, 64):
+        kci = min(cap, want_cnt[i])
+        want = np.sort(d[i][d[i] <= r * r])[:kci]
+        np.testing.assert_allclose(d2[i, :kci], want, rtol=1e-5)
+        assert np.all(idx[i, kci:] == -1)
+    assert b_ms >= 0 and q_ms >= 0

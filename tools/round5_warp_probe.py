@@ -300,12 +300,145 @@ def part_par():
           f"-> overlap {'YES' if par < 0.75 * serial else 'NO'}", flush=True)
 
 
+def part_sorted():
+    """Prototype the narrow-input SORTED pair assembly (candidate VERDICT
+    r4 #1 design) against the current chunked-SoA + wide-gather path, plus
+    the GN's remaining pieces (y compute, rhs path) so the 180 ms GN step
+    is fully accounted for."""
+    graph, srcj, dstj = _graph_and_clouds()
+    m = graph.num_nodes
+    n, K = graph.anchors.shape
+    key = jax.random.PRNGKey(0)
+
+    anchors = np.asarray(graph.anchors).astype(np.int64)
+    wa = np.asarray(graph.anchor_weights)
+    kk, ll = np.triu_indices(K)
+    T = len(kk)
+    chunk = 4096
+    n_pad = max(1, -(-n // chunk)) * chunk
+    a_pad = np.zeros((n_pad, K), np.int64)
+    a_pad[:n] = anchors
+    an, bn_ = a_pad[:, kk], a_pad[:, ll]
+    pair_keys = (np.minimum(an, bn_) * m + np.maximum(an, bn_)).reshape(-1)
+    order1 = np.argsort(pair_keys, kind="stable")
+    uniq = np.asarray(graph.pair_uniq_keys)
+    seg1 = np.searchsorted(uniq, pair_keys[order1]).astype(np.int32)
+    pt = (order1 // T).astype(np.int64)
+    t = (order1 % T).astype(np.int64)
+    ps_kkf = (pt * K + kk[t]).astype(np.int32)
+    ps_llf = (pt * K + ll[t]).astype(np.int32)
+    ps_pt = pt.astype(np.int32)
+    wa_pad = np.zeros((n_pad, K), np.float32)
+    wa_pad[:n] = wa
+    hd = np.where(kk == ll, 0.5, 1.0).astype(np.float32)
+    ps_w2 = (wa_pad[pt, kk[t]] * wa_pad[pt, ll[t]] * hd[t]).astype(np.float32)
+    ps_w2[pt >= n] = 0.0
+    ps_swap = (a_pad[pt, kk[t]] > a_pad[pt, ll[t]])
+
+    dev = jax.device_put
+    ps_kkf, ps_llf, ps_pt = dev(ps_kkf), dev(ps_llf), dev(ps_pt)
+    ps_w2 = dev(ps_w2)
+    ps_swap = dev(ps_swap)
+    seg1 = dev(seg1)
+    u_pad = uniq.shape[0]
+    uniq_j = dev(uniq.astype(np.int32))
+
+    yflat = jax.random.normal(key, (n * K, 3), jnp.float32)
+    ptab = jax.random.normal(key, (n, 5), jnp.float32)  # wpp, wpl, n(3)
+
+    def sorted_assembly(yflat, ptab):
+        a = yflat[ps_kkf]
+        b = yflat[ps_llf]
+        p = ptab[ps_pt]
+        sw = ps_swap[:, None]
+        ya = jnp.where(sw, b, a)
+        yb = jnp.where(sw, a, b)
+        xk, yk, zk = ya[:, 0], ya[:, 1], ya[:, 2]
+        xl, yl, zl = yb[:, 0], yb[:, 1], yb[:, 2]
+        wpt, wpl = p[:, 0], p[:, 1]
+        nx, ny, nz = p[:, 2], p[:, 3], p[:, 4]
+        dot = xk * xl + yk * yl + zk * zl
+        one = jnp.ones_like(dot)
+        zero = jnp.zeros_like(dot)
+        tl = [
+            [dot - xl * xk, -xl * yk, -xl * zk],
+            [-yl * xk, dot - yl * yk, -yl * zk],
+            [-zl * xk, -zl * yk, dot - zl * zk],
+        ]
+        tr = [[zero, -zk, yk], [zk, zero, -xk], [-yk, xk, zero]]
+        bl = [[zero, zl, -yl], [-zl, zero, xl], [yl, -xl, zero]]
+        br = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
+        bnk = [yk * nz - zk * ny, zk * nx - xk * nz, xk * ny - yk * nx,
+               nx, ny, nz]
+        bnl = [yl * nz - zl * ny, zl * nx - xl * nz, xl * ny - yl * nx,
+               nx, ny, nz]
+        ent = []
+        for pp_ in range(3):
+            for qq in range(3):
+                ent.append(wpt * tl[pp_][qq] + wpl * bnk[pp_] * bnl[qq])
+            for qq in range(3):
+                ent.append(wpt * tr[pp_][qq] + wpl * bnk[pp_] * bnl[qq + 3])
+        for pp_ in range(3):
+            for qq in range(3):
+                ent.append(wpt * bl[pp_][qq] + wpl * bnk[pp_ + 3] * bnl[qq])
+            for qq in range(3):
+                ent.append(
+                    wpt * br[pp_][qq] + wpl * bnk[pp_ + 3] * bnl[qq + 3]
+                )
+        vals = ps_w2[:, None] * jnp.stack(ent, axis=1)  # (R1, 36)
+        compact = jax.ops.segment_sum(
+            vals, seg1, num_segments=u_pad, indices_are_sorted=True
+        )
+        acc = (
+            jnp.zeros((m * m, 36), jnp.float32)
+            .at[uniq_j]
+            .set(compact, mode="drop", indices_are_sorted=True,
+                 unique_indices=True)
+        )
+        return acc
+
+    r = op_time(sorted_assembly, (yflat, ptab), lo=1, hi=5)
+    print(f"SORTED narrow assembly (gather12 + compute + segsum + expand): "
+          f"{r}", flush=True)
+
+    # The three gathers alone.
+    def gathers_only(yflat, ptab):
+        return yflat[ps_kkf], yflat[ps_llf], ptab[ps_pt]
+
+    r = op_time(gathers_only, (yflat, ptab), lo=1, hi=5)
+    print(f"SORTED gathers only (2x3w + 1x5w at 1.25M rows): {r}",
+          flush=True)
+
+    # y compute: packed node gather + einsum (the GN's first stage).
+    packed = jax.random.normal(key, (m, 12), jnp.float32)
+
+    def y_compute(packed):
+        pa = packed[graph.anchors]  # (N, K, 12)
+        lin = pa[..., :9].reshape(n, K, 3, 3)
+        tr_ = pa[..., 9:]
+        return jnp.einsum("nkij,nj->nki", lin, srcj) + tr_
+
+    r = op_time(y_compute, (packed,), lo=1, hi=5)
+    print(f"Y anchor gather + warp (480k rows, 12w): {r}", flush=True)
+
+    # rhs path: segment_over_anchors on (N,K,6) + arc segment sums.
+    rows6 = jax.random.normal(key, (n, K, 6), jnp.float32)
+
+    def rhs_path(rows6):
+        return graph.segment_over_anchors(rows6.reshape(n, K, 6))
+
+    r = op_time(rhs_path, (rows6,), lo=1, hi=5)
+    print(f"RHS segment_over_anchors (480k rows, 6w): {r}", flush=True)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     which = sys.argv[1:] or ["2"]
     t_all = time.perf_counter()
     for w in which:
         {"1": part_full, "2": part_nn, "3": part_chol,
-         "4": part_pieces, "5": part_par}[w]()
+         "4": part_pieces, "5": part_par, "6": part_sorted}[w]()
         print(f"-- part {w} done at {time.perf_counter()-t_all:.0f}s",
               flush=True)
+
+
