@@ -87,6 +87,22 @@ class DeformationGraph:
     pair_order: Optional[jax.Array] = None  # (R,) permutation
     pair_seg_ids: Optional[jax.Array] = None  # (R,) ascending run ids
     pair_uniq_keys: Optional[jax.Array] = None  # (U_pad,) keys, m·m = pad
+    # Sorted NARROW-INPUT assembly caches (rigid 3-D direct solver). The
+    # r4 path gathered COMPUTED 36-wide block rows through pair_order —
+    # but gather cost scales hard with row width (measured r5 probe:
+    # 1.25M rows at 36w = 41.6 ms vs 8w = 5.7 ms), so the r5 path gathers
+    # the 8-wide INPUTS (y_anchor | w_pp w_pl n) in pair-key-sorted order
+    # and computes the closed-form block entries AFTER the permutation:
+    # 31.5 ms for gathers+compute+segsum+expand vs 54.7 ms for the old
+    # gather+segsum alone (plus the whole chunked SoA compute scan it
+    # replaces — tools/round5_warp_probe.py part 6).
+    ps_kkf: Optional[jax.Array] = None  # (R1,) pt*K + kk[t], key-sorted
+    ps_llf: Optional[jax.Array] = None  # (R1,) pt*K + ll[t]
+    ps_w2: Optional[jax.Array] = None  # (R1,) wa_k*wa_l*half_diag (static)
+    ps_swap: Optional[jax.Array] = None  # (R1,) bool: node_k > node_l
+    ps_seg: Optional[jax.Array] = None  # (R1,) ascending segment ids
+    arc_sorted_order: Optional[jax.Array] = None  # (3A,) arc-row sort
+    arc_sorted_seg: Optional[jax.Array] = None  # (3A,) ascending seg ids
 
     @property
     def num_nodes(self) -> int:
@@ -220,10 +236,46 @@ def _pair_assembly_caches(g: DeformationGraph):
     # documented-undefined in JAX even with mode='drop' (ADVICE r3).
     uniq_p = m * m + np.arange(u_pad, dtype=np.int64)
     uniq_p[: len(uniq)] = uniq
+
+    # Sorted narrow-input caches (see the dataclass fields): UNPADDED
+    # point-pair stream (n·T rows) sorted by key, with the static weight
+    # product folded in, plus the arc stream's own sort into the same
+    # segment list.
+    try:
+        wa = np.asarray(g.anchor_weights).astype(np.float64)
+    except Exception:
+        wa = None
+    sorted_caches = None
+    if wa is not None:
+        K = anchors.shape[1]
+        an_u, bn_u = anchors[:, kk], anchors[:, ll]  # (n, T)
+        keys_u = (np.minimum(an_u, bn_u) * m + np.maximum(an_u, bn_u))
+        order_u = np.argsort(keys_u.reshape(-1), kind="stable")
+        pt = order_u // len(kk)
+        t = order_u % len(kk)
+        hd = np.where(kk == ll, 0.5, 1.0)
+        ps_w2 = (wa[pt, kk[t]] * wa[pt, ll[t]] * hd[t]).astype(np.float32)
+        ps_seg = np.searchsorted(
+            uniq, keys_u.reshape(-1)[order_u]
+        ).astype(np.int32)
+        arc_order3 = np.argsort(arc_keys, kind="stable")
+        arc_seg3 = np.searchsorted(uniq, arc_keys[arc_order3]).astype(
+            np.int32
+        )
+        sorted_caches = (
+            jnp.asarray((pt * K + kk[t]).astype(np.int32)),
+            jnp.asarray((pt * K + ll[t]).astype(np.int32)),
+            jnp.asarray(ps_w2),
+            jnp.asarray(anchors[pt, kk[t]] > anchors[pt, ll[t]]),
+            jnp.asarray(ps_seg),
+            jnp.asarray(arc_order3.astype(np.int32)),
+            jnp.asarray(arc_seg3),
+        )
     return (
         jnp.asarray(order.astype(np.int32)),
         jnp.asarray(seg.astype(np.int32)),
         jnp.asarray(uniq_p.astype(np.int32)),
+        sorted_caches,
     )
 
 
@@ -232,6 +284,7 @@ def _with_sort_caches(g: DeformationGraph) -> DeformationGraph:
     order = jnp.argsort(flat)
     jorder = jnp.argsort(g.arc_j)
     pair = _pair_assembly_caches(g)
+    sc = pair[3] if pair else None
     return dataclasses.replace(
         g,
         anchor_order=order.astype(jnp.int32),
@@ -241,6 +294,13 @@ def _with_sort_caches(g: DeformationGraph) -> DeformationGraph:
         pair_order=pair[0] if pair else None,
         pair_seg_ids=pair[1] if pair else None,
         pair_uniq_keys=pair[2] if pair else None,
+        ps_kkf=sc[0] if sc else None,
+        ps_llf=sc[1] if sc else None,
+        ps_w2=sc[2] if sc else None,
+        ps_swap=sc[3] if sc else None,
+        ps_seg=sc[4] if sc else None,
+        arc_sorted_order=sc[5] if sc else None,
+        arc_sorted_seg=sc[6] if sc else None,
     )
 
 
@@ -668,7 +728,136 @@ def estimate_warp_field(
                 and graph.pair_order.shape[0]
                 == n_pad * len(kk) + n_arc_rows
             )
-            if have_pair_caches:
+            have_sorted = (
+                (not affine)
+                and d == 3
+                and graph.ps_kkf is not None
+                and graph.ps_kkf.shape[0] == n * len(kk)
+                and graph.arc_sorted_order is not None
+                and graph.arc_sorted_order.shape[0] == n_arc_rows
+                and graph.pair_uniq_keys is not None
+            )
+            n_seg = (
+                graph.pair_uniq_keys.shape[0]
+                if graph.pair_uniq_keys is not None
+                else 0
+            )
+            if have_sorted:
+                # r5 narrow-input SORTED assembly: gather the 8-wide
+                # inputs (y_anchor | w_pp w_pl n) in pair-key-sorted order
+                # and evaluate the closed-form BkᵀBl entries AFTER the
+                # permutation — gather cost scales with row width, so
+                # permuting inputs (2×8w) instead of computed blocks
+                # (1×36w) more than halves the assembly (probe part 6:
+                # 31.5 ms vs 54.7 + the whole chunked compute scan).
+                ptdata = jnp.concatenate(
+                    [w_pp[:, None], w_pl[:, None], nrm_src], axis=1
+                )  # (N, 5)
+                ytab = jnp.concatenate(
+                    [
+                        y,
+                        jnp.broadcast_to(
+                            ptdata[:, None, :], (n, _k_anch, 5)
+                        ),
+                    ],
+                    axis=-1,
+                ).reshape(n * _k_anch, 8)
+                ga = ytab[graph.ps_kkf]
+                gb = ytab[graph.ps_llf]
+                # Upper-triangle orientation: a swapped block is BlᵀBk =
+                # (BkᵀBl)ᵀ — the same closed form with the two anchor
+                # streams exchanged.
+                sw = graph.ps_swap[:, None]
+                ya = jnp.where(sw, gb[:, :3], ga[:, :3])
+                yb = jnp.where(sw, ga[:, :3], gb[:, :3])
+                xk = ya[:, 0]
+                yk_ = ya[:, 1]
+                zk = ya[:, 2]
+                xl = yb[:, 0]
+                yl_ = yb[:, 1]
+                zl = yb[:, 2]
+                wpt = ga[:, 3]
+                wplt = ga[:, 4]
+                dot_ = xk * xl + yk_ * yl_ + zk * zl
+                one = jnp.ones_like(dot_)
+                zero = jnp.zeros_like(dot_)
+                # BkᵀBl = [(yk·yl)I − yl ykᵀ, [yk]× ; −[yl]×, I].
+                tl = [
+                    [dot_ - xl * xk, -xl * yk_, -xl * zk],
+                    [-yl_ * xk, dot_ - yl_ * yk_, -yl_ * zk],
+                    [-zl * xk, -zl * yk_, dot_ - zl * zk],
+                ]
+                tr_b = [
+                    [zero, -zk, yk_],
+                    [zk, zero, -xk],
+                    [-yk_, xk, zero],
+                ]
+                bl_b = [
+                    [zero, zl, -yl_],
+                    [-zl, zero, xl],
+                    [yl_, -xl, zero],
+                ]
+                br_b = [
+                    [one, zero, zero],
+                    [zero, one, zero],
+                    [zero, zero, one],
+                ]
+                base = [[None] * 6 for _ in range(6)]
+                for p_ in range(3):
+                    for q_ in range(3):
+                        base[p_][q_] = tl[p_][q_]
+                        base[p_][q_ + 3] = tr_b[p_][q_]
+                        base[p_ + 3][q_] = bl_b[p_][q_]
+                        base[p_ + 3][q_ + 3] = br_b[p_][q_]
+                if dst_normals is not None:
+                    nx = ga[:, 5]
+                    ny_ = ga[:, 6]
+                    nz = ga[:, 7]
+                    bnk = [
+                        yk_ * nz - zk * ny_,
+                        zk * nx - xk * nz,
+                        xk * ny_ - yk_ * nx,
+                        nx, ny_, nz,
+                    ]
+                    bnl = [
+                        yl_ * nz - zl * ny_,
+                        zl * nx - xl * nz,
+                        xl * ny_ - yl_ * nx,
+                        nx, ny_, nz,
+                    ]
+                    ent = [
+                        wpt * base[p_][q_] + wplt * bnk[p_] * bnl[q_]
+                        for p_ in range(6)
+                        for q_ in range(6)
+                    ]
+                else:
+                    ent = [
+                        wpt * base[p_][q_]
+                        for p_ in range(6)
+                        for q_ in range(6)
+                    ]
+                vals_s = graph.ps_w2[:, None] * jnp.stack(ent, axis=1)
+                compact = jax.ops.segment_sum(
+                    vals_s, graph.ps_seg, num_segments=n_seg,
+                    indices_are_sorted=True,
+                )
+                compact = compact + jax.ops.segment_sum(
+                    arc_vals[graph.arc_sorted_order],
+                    graph.arc_sorted_seg,
+                    num_segments=n_seg,
+                    indices_are_sorted=True,
+                )
+                acc = (
+                    jnp.zeros((m * m, pp), rhs.dtype)
+                    .at[graph.pair_uniq_keys]
+                    .set(
+                        compact,
+                        mode="drop",
+                        indices_are_sorted=True,
+                        unique_indices=True,
+                    )
+                )
+            elif have_pair_caches:
                 # Static-key path: the scan only STACKS block values; the
                 # duplicate-key reduction rides the precomputed sort as one
                 # gather + SORTED segment_sum into the occupied node pairs,

@@ -382,3 +382,64 @@ def test_batched_gn_matches_single_plane_metric(rng):
             np.asarray(tfb.linear[b]), np.asarray(tfs.linear),
             atol=2e-5, err_msg=f"stream {b} rotation",
         )
+
+
+def test_sorted_assembly_matches_wide_gather_path(rng):
+    """r5 narrow-input sorted assembly vs the r4 wide-gather path: same
+    graph, same correspondences, same direct GN -> near-identical node
+    transforms (reduction order differs only within segments)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from cilantro_tpu.registration import build_deformation_graph
+    from cilantro_tpu.registration.warp_field import estimate_warp_field
+
+    n, m_nodes = 4000, 64
+    src = rng.random((n, 3)).astype(np.float32)
+    nodes = rng.random((m_nodes, 3)).astype(np.float32)
+    graph = build_deformation_graph(
+        src, jnp.asarray(nodes), k_anchors=4, k_arcs=6
+    )
+    assert graph.ps_kkf is not None  # sorted caches built
+    dst = src + 0.01 * rng.standard_normal((n, 3)).astype(np.float32)
+    nrm = rng.standard_normal((n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    w = (rng.random(n) > 0.1).astype(np.float32)
+    stripped = dataclasses.replace(
+        graph, ps_kkf=None, ps_llf=None, ps_w2=None, ps_swap=None,
+        ps_seg=None, arc_sorted_order=None, arc_sorted_seg=None,
+    )
+    kw = dict(point_weight=0.3, plane_weight=1.0, stiffness=20.0,
+              max_gn_iterations=2, solver="direct")
+    tf_new, _, _ = estimate_warp_field(
+        graph, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(nrm),
+        jnp.asarray(w), **kw
+    )
+    tf_old, _, _ = estimate_warp_field(
+        stripped, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(nrm),
+        jnp.asarray(w), **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(tf_new.translation), np.asarray(tf_old.translation),
+        atol=5e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tf_new.linear), np.asarray(tf_old.linear), atol=5e-5
+    )
+    # Point-weight-only variant (no normals) exercises the plane-free
+    # entry list.
+    kw2 = dict(point_weight=1.0, plane_weight=0.0, stiffness=20.0,
+               max_gn_iterations=1, solver="direct")
+    t1, _, _ = estimate_warp_field(
+        graph, jnp.asarray(src), jnp.asarray(dst), None, jnp.asarray(w),
+        **kw2
+    )
+    t2, _, _ = estimate_warp_field(
+        stripped, jnp.asarray(src), jnp.asarray(dst), None,
+        jnp.asarray(w), **kw2
+    )
+    np.testing.assert_allclose(
+        np.asarray(t1.translation), np.asarray(t2.translation), atol=5e-5
+    )

@@ -437,8 +437,66 @@ if __name__ == "__main__":
     t_all = time.perf_counter()
     for w in which:
         {"1": part_full, "2": part_nn, "3": part_chol,
-         "4": part_pieces, "5": part_par, "6": part_sorted}[w]()
+         "4": part_pieces, "5": part_par, "6": part_sorted,
+         "7": part_cache, "8": part_overlap}[w]()
         print(f"-- part {w} done at {time.perf_counter()-t_all:.0f}s",
               flush=True)
 
 
+
+
+def _heavy_fn(seed, n_ops=120, size=512):
+    def f(x):
+        y = x
+        for i in range(n_ops):
+            y = jnp.tanh(y @ y.T * (1e-3 * (i + seed))) + x
+        return jnp.sum(y)
+    return f
+
+
+def part_cache():
+    """Does jit(f).lower(x).compile() make the later plain call
+    compile-free? Decides the bench prewarm design (VERDICT r4 #2)."""
+    f = jax.jit(_heavy_fn(11))
+    x = jnp.ones((523, 523), jnp.float32)
+    t0 = time.perf_counter()
+    f.lower(x).compile()
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(f(x))
+    t_call = time.perf_counter() - t0
+    print(f"CACHE lower+compile {t_compile:.1f}s; first plain call "
+          f"{t_call:.2f}s -> {'SHARED' if t_call < 0.25 * t_compile else 'NOT shared'}",
+          flush=True)
+
+
+def part_overlap():
+    """Is a timed execution loop disturbed by a concurrent background
+    compile? Decides whether prewarm threads may run during timed
+    stages."""
+    import threading
+
+    g = jax.jit(lambda a: jnp.sum(a @ a))
+    x = jnp.ones((2048, 2048), jnp.float32)
+    np.asarray(g(x))
+
+    def timed_loop(label):
+        best = 1e9
+        for _ in range(8):
+            t0 = time.perf_counter()
+            np.asarray(g(x))
+            best = min(best, time.perf_counter() - t0)
+        print(f"OVERLAP {label}: best timed matmul {best*1e3:.1f} ms",
+              flush=True)
+
+    timed_loop("quiet")
+    th = threading.Thread(
+        target=lambda: jax.jit(_heavy_fn(23)).lower(
+            jnp.ones((529, 529), jnp.float32)
+        ).compile()
+    )
+    th.start()
+    time.sleep(2.0)
+    timed_loop("with background compile")
+    th.join()
+    timed_loop("quiet again")
