@@ -177,7 +177,10 @@ def test_sharded_warp_bench_scale():
     graph = build_deformation_graph(
         srcj, ctrl.points, node_valid=ctrl.valid, k_anchors=4, k_arcs=8
     )
-    mesh = make_mesh(1, 8)
+    # (8, 1): the warp shards over the POINTS axis — a (1, 8) mesh would
+    # put the whole problem on one size-1 axis row and the agreement below
+    # would be trivially true of a replicated run (round-5 audit).
+    mesh = make_mesh(8, 1)
     kw = dict(
         max_corr_dist_sq=0.0025, point_weight=1.0, plane_weight=0.0,
         stiffness=50.0, max_iterations=2, max_cg_iterations=60,

@@ -431,29 +431,6 @@ def part_sorted():
     print(f"RHS segment_over_anchors (480k rows, 6w): {r}", flush=True)
 
 
-if __name__ == "__main__":
-    print("devices:", jax.devices(), flush=True)
-    which = sys.argv[1:] or ["2"]
-    t_all = time.perf_counter()
-    for w in which:
-        {"1": part_full, "2": part_nn, "3": part_chol,
-         "4": part_pieces, "5": part_par, "6": part_sorted,
-         "7": part_cache, "8": part_overlap}[w]()
-        print(f"-- part {w} done at {time.perf_counter()-t_all:.0f}s",
-              flush=True)
-
-
-
-
-def _heavy_fn(seed, n_ops=120, size=512):
-    def f(x):
-        y = x
-        for i in range(n_ops):
-            y = jnp.tanh(y @ y.T * (1e-3 * (i + seed))) + x
-        return jnp.sum(y)
-    return f
-
-
 def part_cache():
     """Does jit(f).lower(x).compile() make the later plain call
     compile-free? Decides the bench prewarm design (VERDICT r4 #2)."""
@@ -500,3 +477,30 @@ def part_overlap():
     timed_loop("with background compile")
     th.join()
     timed_loop("quiet again")
+
+
+def _heavy_fn(seed, n_ops=120, size=512):
+    def f(x):
+        y = x
+        for i in range(n_ops):
+            y = jnp.tanh(y @ y.T * (1e-3 * (i + seed))) + x
+        return jnp.sum(y)
+    return f
+
+
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices(), flush=True)
+    which = sys.argv[1:] or ["2"]
+    t_all = time.perf_counter()
+    for w in which:
+        {"1": part_full, "2": part_nn, "3": part_chol,
+         "4": part_pieces, "5": part_par, "6": part_sorted,
+         "7": part_cache, "8": part_overlap}[w]()
+        print(f"-- part {w} done at {time.perf_counter()-t_all:.0f}s",
+              flush=True)
+
+
+
+
