@@ -215,6 +215,7 @@ def run_slam(
     map_capacity: Optional[int] = None,
     cfg: FusionConfig = FusionConfig(),
     slam: SlamConfig = SlamConfig(),
+    frontend: str = "loop",
 ) -> Tuple[FusionMap, SlamResult]:
     """The full loop: fusion odometry → keyframes → loop closure →
     pose graph (+ optional BA) → corrected trajectory → rebuilt map.
@@ -226,9 +227,19 @@ def run_slam(
     """
     h, w = depths[0].shape
     # 1. Front end (odometry + keyframe spawning from the estimated poses).
-    fmap_odo, metrics = run_fusion_sequence(
-        depths, intrinsics, map_capacity=map_capacity, cfg=cfg
-    )
+    # ``frontend="scanned"`` runs the whole odometry pass as ONE jitted
+    # lax.scan (one compile, one dispatch — the bench-friendly shape);
+    # "loop" is the per-frame host loop (checkpointing, integrate_every).
+    if frontend == "scanned":
+        from .driver import run_fusion_sequence_scanned
+
+        fmap_odo, metrics = run_fusion_sequence_scanned(
+            depths, intrinsics, map_capacity=map_capacity, cfg=cfg
+        )
+    else:
+        fmap_odo, metrics = run_fusion_sequence(
+            depths, intrinsics, map_capacity=map_capacity, cfg=cfg
+        )
     odometry = [np.asarray(p, np.float32) for p in metrics.poses]
 
     graph = KeyframeGraph.empty()

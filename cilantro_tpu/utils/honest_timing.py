@@ -90,14 +90,21 @@ def _best(f, args, reps):
     return best * 1e3
 
 
-def op_time(fn, args, lo=2, hi=8, reps=3) -> OpTime:
+def op_time(fn, args, lo=2, hi=8, reps=3, precompiled=None) -> OpTime:
     """Honest per-call time of ``fn(*args)`` on the device.
 
     ``fn`` must be jit-compatible and take at least one floating-point
     array argument (perturbed per iteration to defeat LICM).
+    ``precompiled``: optional ``(lo_loop, hi_loop)`` executables for the
+    exact ``_looped(fn, lo/hi)`` programs (background-prewarmed callers
+    skip the in-line compiles; ``fn`` is then unused for tracing).
     """
-    t_lo = _best(_looped(fn, lo), args, reps)
-    t_hi = _best(_looped(fn, hi), args, reps)
+    if precompiled is not None:
+        f_lo, f_hi = precompiled
+    else:
+        f_lo, f_hi = _looped(fn, lo), _looped(fn, hi)
+    t_lo = _best(f_lo, args, reps)
+    t_hi = _best(f_hi, args, reps)
     per = (t_hi - t_lo) / (hi - lo)
     return OpTime(
         per_iter_ms=per,
