@@ -174,7 +174,11 @@ def build_ctx():
         dsts.append(d)
     ctx["warp_dsts"] = [d for d in dsts]
     ctx["warp_dstb"] = jax.device_put(np.stack(dsts))
-    ctx["graph"] = _bench_edg_graph(ctx["p1j"])
+    # Host (numpy) graph build: the device build's grid/knn compiles put
+    # ~145 s of first-contact + compile on the prewarm critical path —
+    # the graph is static input data, so build it on the host and start
+    # the heavy warp compiles immediately.
+    ctx["graph"] = _bench_edg_graph_host(p1)
 
     import jax as _jax
 
@@ -759,6 +763,107 @@ def bench_estimation_clustering(ctx):
     honest("PCA on 120k", "pca", (pts,), cpu_ms=pca_cpu_ms)
 
 
+def _bench_edg_graph_host(src: np.ndarray):
+    """Numpy twin of :func:`_bench_edg_graph` — identical graph semantics
+    (2.5 cm voxel-mean nodes compacted to occupancy, k=4 RBF anchors with
+    per-point max-distance sigma, k=8 arcs), zero device work: the device
+    build's grid/knn compiles cost ~145 s of prewarm critical path."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from cilantro_tpu.registration.warp_field import (
+        DeformationGraph, _pair_assembly_caches,
+    )
+
+    src = np.asarray(src, np.float32)
+    # Voxel means at 2.5 cm (grid_downsample's accumulator semantics).
+    keys = np.floor(src / 0.025).astype(np.int64)
+    kmin = keys.min(0)
+    kk = keys - kmin
+    dims = kk.max(0) + 1
+    flat = (kk[:, 0] * dims[1] + kk[:, 1]) * dims[2] + kk[:, 2]
+    uniq, inv = np.unique(flat, return_inverse=True)
+    sums = np.zeros((len(uniq), 3), np.float64)
+    np.add.at(sums, inv, src)
+    cnt = np.bincount(inv, minlength=len(uniq)).astype(np.float64)
+    occ = (sums / cnt[:, None]).astype(np.float32)
+    cap = -(-len(occ) // 32) * 32
+    nodes = np.zeros((cap, 3), np.float32)
+    nodes[: len(occ)] = occ
+    nv = np.arange(cap) < len(occ)
+
+    # k=4 anchors by brute force (120k x ~850 fits easily).
+    d2 = (
+        np.sum(src**2, 1)[:, None]
+        - 2.0 * src @ nodes.T
+        + np.sum(nodes**2, 1)[None]
+    )
+    d2[:, ~nv] = np.inf
+    k_anchors, k_arcs = 4, 8
+    aidx = np.argpartition(d2, k_anchors - 1, axis=1)[:, :k_anchors]
+    ad2 = np.take_along_axis(d2, aidx, axis=1)
+    order = np.argsort(ad2, axis=1, kind="stable")
+    aidx = np.take_along_axis(aidx, order, axis=1).astype(np.int32)
+    ad2 = np.take_along_axis(ad2, order, axis=1)
+    ad2 = np.maximum(ad2, 0.0)
+    sigma2 = np.maximum(ad2.max(1, keepdims=True), 1e-12)
+    w = np.exp(-0.5 * ad2 / sigma2)
+    w = (w / np.maximum(w.sum(1, keepdims=True), 1e-12)).astype(np.float32)
+
+    # k=8 arcs (node self-kNN, self excluded).
+    nd2 = (
+        np.sum(nodes**2, 1)[:, None]
+        - 2.0 * nodes @ nodes.T
+        + np.sum(nodes**2, 1)[None]
+    )
+    np.fill_diagonal(nd2, np.inf)
+    nd2[:, ~nv] = np.inf
+    nd2[~nv, :] = np.inf
+    jidx = np.argpartition(nd2, k_arcs - 1, axis=1)[:, :k_arcs]
+    jd2 = np.take_along_axis(nd2, jidx, axis=1)
+    jorder = np.argsort(jd2, axis=1, kind="stable")
+    jidx = np.take_along_axis(jidx, jorder, axis=1)
+    jd2s = np.take_along_axis(jd2, jorder, axis=1)
+    arc_mask = np.isfinite(jd2s)
+    jidx = np.where(arc_mask, jidx, 0).astype(np.int32)
+    arc_i = np.repeat(np.arange(cap, dtype=np.int32), k_arcs)
+    arc_j = jidx.reshape(-1)
+    am = arc_mask.reshape(-1)
+
+    aflat = aidx.reshape(-1)
+    aorder = np.argsort(aflat, kind="stable").astype(np.int32)
+    ajorder = np.argsort(arc_j, kind="stable").astype(np.int32)
+    g = DeformationGraph(
+        node_positions=jnp.asarray(nodes),
+        node_valid=jnp.asarray(nv),
+        anchors=jnp.asarray(aidx),
+        anchor_weights=jnp.asarray(w),
+        arc_i=jnp.asarray(arc_i),
+        arc_j=jnp.asarray(arc_j),
+        arc_mask=jnp.asarray(am),
+        anchor_order=jnp.asarray(aorder),
+        anchor_sorted_ids=jnp.asarray(aflat[aorder].astype(np.int32)),
+        arc_j_order=jnp.asarray(ajorder),
+        arc_j_sorted=jnp.asarray(arc_j[ajorder]),
+    )
+    pair = _pair_assembly_caches(g)
+    sc = pair[3] if pair else None
+    return _dc.replace(
+        g,
+        pair_order=pair[0] if pair else None,
+        pair_seg_ids=pair[1] if pair else None,
+        pair_uniq_keys=pair[2] if pair else None,
+        ps_kkf=sc[0] if sc else None,
+        ps_llf=sc[1] if sc else None,
+        ps_w2=sc[2] if sc else None,
+        ps_swap=sc[3] if sc else None,
+        ps_seg=sc[4] if sc else None,
+        arc_sorted_order=sc[5] if sc else None,
+        arc_sorted_seg=sc[6] if sc else None,
+    )
+
+
 def _bench_edg_graph(srcj):
     """2.5 cm EDG control graph with nodes COMPACTED to occupancy (837
     occupied voxels → capacity 864): the C++ baseline solves its exact
@@ -1161,9 +1266,9 @@ def main():
     # Beyond-core rows (new this round): the SLAM loop, the splat
     # scaling/batching measurements, and the SO3-metric path.
     splat_dt = splat_out[0] if splat_out is not None else None
+    run_stage("SLAM loop", bench_slam, 150, cpu_dt, optional=True)
     run_stage("splat scaling", bench_splat_scaling, 110, depths, gt, k,
               cpu_dt, splat_dt, optional=True)
-    run_stage("SLAM loop", bench_slam, 150, cpu_dt, optional=True)
     if ctx is not None:
         run_stage("SO3 kNN", bench_so3, 45, ctx, optional=True)
     log(f"bench done in {time.perf_counter()-T_START:.0f}s")

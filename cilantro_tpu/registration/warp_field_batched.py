@@ -218,100 +218,7 @@ def estimate_warp_field_batched(
         )
         rhs = -acc.reshape(m, bsz, p_par)  # (M, B, 6)
 
-        # --- pair-block assembly over the shared precomputed runs ---
-        chunk_args = (
-            _chunked(y),
-            _chunked(wa),
-            _chunked(w_pp),
-            _chunked(w_pl),
-            _chunked(nrm_t),
-            _chunked(graph.anchors, 0),
-        )
-
-        def chunk_blocks(args):
-            """Pair blocks via the CLOSED FORM of BkᵀBl in structure-of-
-            arrays layout (point-chunk axis = lanes). With B = [−[y]× | I]:
-
-              BkᵀBl = [ (yk·yl)·I − yl·ykᵀ   [yk]×  ]
-                      [      −[yl]×            I    ]
-
-            so all 36 entries are short polynomials in the anchor-position
-            components — no (…, 3, 6) block tensors exist at all. The AoS
-            einsum materialized (…, P, P)-minor intermediates that Mosaic
-            tile-pads ~28×: measured 644 of the 808 ms batched GN at B=8
-            (bisect 2026-08-20); this form + one stack + one lane→major
-            transpose measures 89 ms at the same shape (layout probe)."""
-            y_k, wa_k, wpp_k, wpl_k, nrm_k, an_k = args
-            yt = y_k.transpose(1, 2, 3, 0)  # (K, B, 3, C)
-            ykk, yll = yt[kk], yt[ll]  # (T, B, 3, C)
-            xk, yk_, zk = ykk[:, :, 0], ykk[:, :, 1], ykk[:, :, 2]
-            xl, yl_, zl = yll[:, :, 0], yll[:, :, 1], yll[:, :, 2]
-            waT = wa_k.T  # (K, C)
-            ww = (waT[kk] * waT[ll])[:, None, :]  # (T, 1, C)
-            wpt = wpp_k.T[None]  # (1, B, C)
-            w_all = ww * wpt  # (T, B, C): wa_k·wa_l·w_pp per block
-            dot = xk * xl + yk_ * yl_ + zk * zl
-            one = jnp.ones_like(dot)
-            zero = jnp.zeros_like(dot)
-            # e[p][q] of BkᵀBl (data term, weight folded in afterwards).
-            tl = [
-                [dot - xl * xk, -xl * yk_, -xl * zk],
-                [-yl_ * xk, dot - yl_ * yk_, -yl_ * zk],
-                [-zl * xk, -zl * yk_, dot - zl * zk],
-            ]
-            tr = [
-                [zero, -zk, yk_],
-                [zk, zero, -xk],
-                [-yk_, xk, zero],
-            ]
-            bl_ = [
-                [zero, zl, -yl_],
-                [-zl, zero, xl],
-                [yl_, -xl, zero],
-            ]
-            br = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
-            ent = [[None] * 6 for _ in range(6)]
-            for p in range(3):
-                for q in range(3):
-                    ent[p][q] = w_all * tl[p][q]
-                    ent[p][q + 3] = w_all * tr[p][q]
-                    ent[p + 3][q] = w_all * bl_[p][q]
-                    ent[p + 3][q + 3] = w_all * br[p][q]
-            if plane_terms:
-                # bn = wa·[y×n ; n]: plane rank-1 term bn_k bn_lᵀ.
-                nt = nrm_k.transpose(1, 2, 0)  # (B, 3, C)
-                nx, ny, nz = nt[:, 0], nt[:, 1], nt[:, 2]
-                def cross_n(x, y, z):
-                    return (y * nz - z * ny, z * nx - x * nz,
-                            x * ny - y * nx)
-                bnk = list(cross_n(xk, yk_, zk)) + [
-                    jnp.broadcast_to(v, xk.shape) for v in (nx, ny, nz)
-                ]
-                bnl = list(cross_n(xl, yl_, zl)) + [
-                    jnp.broadcast_to(v, xl.shape) for v in (nx, ny, nz)
-                ]
-                wpl_all = ww * wpl_k.T[None]  # (T, B, C)
-                for p in range(6):
-                    for q in range(6):
-                        ent[p][q] = ent[p][q] + wpl_all * bnk[p] * bnl[q]
-            # Upper-triangle orientation: when anchor k's node id exceeds
-            # anchor l's, store the TRANSPOSED block at (min, max).
-            a_n, b_n = an_k[:, kk], an_k[:, ll]  # (C, T) shared indices
-            swap = (a_n > b_n).T[:, None, :]  # (T, 1, C)
-            hd = half_diag.reshape(-1, 1, 1)  # (T, 1, 1)
-            flat = [
-                hd * jnp.where(swap, ent[q][p], ent[p][q])
-                for p in range(6)
-                for q in range(6)
-            ]
-            soa = jnp.stack(flat, axis=2)  # (T, B, 36, C)
-            return soa.transpose(3, 0, 1, 2).reshape(-1, bsz * pp)
-
-        def chunk_fn(_, args):
-            return jnp.int32(0), chunk_blocks(args)
-
-        _, pair_stacked = jax.lax.scan(chunk_fn, jnp.int32(0), chunk_args)
-
+        # --- arc blocks (both assembly paths consume them) ---
         sa = (stiffness * w_arc)[..., None, None]  # (A, B, 1, 1)
         b_i = _row_blocks_rigid(y_jl)  # (A, B, 3, 6)
         b_j = -_row_blocks_rigid(y_ll)
@@ -329,15 +236,194 @@ def estimate_warp_field_batched(
                 off.reshape(-1, bsz * pp),
             ]
         )
-        vals = jnp.concatenate(
-            [pair_stacked.reshape(-1, bsz * pp), arc_vals]
+        n_seg = graph.pair_uniq_keys.shape[0]
+        have_sorted = (
+            graph.ps_kkf is not None
+            and graph.ps_kkf.shape[0] == n * len(kk)
+            and graph.arc_sorted_order is not None
+            and graph.arc_sorted_order.shape[0] == arc_vals.shape[0]
         )
-        compact = jax.ops.segment_sum(
-            vals[graph.pair_order],
-            graph.pair_seg_ids,
-            num_segments=graph.pair_uniq_keys.shape[0],
-            indices_are_sorted=True,
-        )
+        if have_sorted:
+            # r5 narrow-input SORTED assembly, batched twin of the single
+            # solver's path (warp_field.py): gather (B·8)-wide input rows
+            # in pair-key-sorted order and evaluate the closed-form
+            # BkᵀBl entries after the permutation — replaces the chunked
+            # SoA compute scan + the (B·36)-wide computed-row gather
+            # (gather cost scales hard with row width; r5 probe).
+            ptdata = jnp.concatenate(
+                [w_pp[:, :, None], w_pl[:, :, None], nrm_t], axis=-1
+            )  # (N, B, 5)
+            ytab = jnp.concatenate(
+                [
+                    y,  # (N, K, B, 3)
+                    jnp.broadcast_to(
+                        ptdata[:, None], (n, k_anch, bsz, 5)
+                    ),
+                ],
+                axis=-1,
+            ).reshape(n * k_anch, bsz * 8)
+            ga = ytab[graph.ps_kkf].reshape(-1, bsz, 8)
+            gb = ytab[graph.ps_llf].reshape(-1, bsz, 8)
+            sw = graph.ps_swap[:, None, None]
+            ya = jnp.where(sw, gb[..., :3], ga[..., :3])
+            yb = jnp.where(sw, ga[..., :3], gb[..., :3])
+            xk, yk_, zk = ya[..., 0], ya[..., 1], ya[..., 2]  # (R1, B)
+            xl, yl_, zl = yb[..., 0], yb[..., 1], yb[..., 2]
+            wpt = ga[..., 3]
+            wplt = ga[..., 4]
+            dot_ = xk * xl + yk_ * yl_ + zk * zl
+            one = jnp.ones_like(dot_)
+            zero = jnp.zeros_like(dot_)
+            tl = [
+                [dot_ - xl * xk, -xl * yk_, -xl * zk],
+                [-yl_ * xk, dot_ - yl_ * yk_, -yl_ * zk],
+                [-zl * xk, -zl * yk_, dot_ - zl * zk],
+            ]
+            tr_b = [[zero, -zk, yk_], [zk, zero, -xk], [-yk_, xk, zero]]
+            bl_b = [[zero, zl, -yl_], [-zl, zero, xl], [yl_, -xl, zero]]
+            br_b = [
+                [one, zero, zero], [zero, one, zero], [zero, zero, one],
+            ]
+            base = [[None] * 6 for _ in range(6)]
+            for p_ in range(3):
+                for q_ in range(3):
+                    base[p_][q_] = tl[p_][q_]
+                    base[p_][q_ + 3] = tr_b[p_][q_]
+                    base[p_ + 3][q_] = bl_b[p_][q_]
+                    base[p_ + 3][q_ + 3] = br_b[p_][q_]
+            if plane_terms:
+                nx = ga[..., 5]
+                ny_ = ga[..., 6]
+                nz = ga[..., 7]
+                bnk = [
+                    yk_ * nz - zk * ny_, zk * nx - xk * nz,
+                    xk * ny_ - yk_ * nx, nx, ny_, nz,
+                ]
+                bnl = [
+                    yl_ * nz - zl * ny_, zl * nx - xl * nz,
+                    xl * ny_ - yl_ * nx, nx, ny_, nz,
+                ]
+                ent = [
+                    wpt * base[p_][q_] + wplt * bnk[p_] * bnl[q_]
+                    for p_ in range(6)
+                    for q_ in range(6)
+                ]
+            else:
+                ent = [
+                    wpt * base[p_][q_]
+                    for p_ in range(6)
+                    for q_ in range(6)
+                ]
+            # (R1, B, 36) -> (R1, B·36): the wide-gather path's [b][pq]
+            # row layout.
+            vals_s = graph.ps_w2[:, None, None] * jnp.stack(ent, axis=2)
+            compact = jax.ops.segment_sum(
+                vals_s.reshape(-1, bsz * pp), graph.ps_seg,
+                num_segments=n_seg, indices_are_sorted=True,
+            )
+            compact = compact + jax.ops.segment_sum(
+                arc_vals[graph.arc_sorted_order],
+                graph.arc_sorted_seg,
+                num_segments=n_seg,
+                indices_are_sorted=True,
+            )
+        else:
+            chunk_args = (
+                _chunked(y),
+                _chunked(wa),
+                _chunked(w_pp),
+                _chunked(w_pl),
+                _chunked(nrm_t),
+                _chunked(graph.anchors, 0),
+            )
+
+            def chunk_blocks(args):
+                """Pair blocks via the CLOSED FORM of BkᵀBl in structure-
+                of-arrays layout (point-chunk axis = lanes); same
+                arithmetic as the sorted path, materialized point-major
+                for the precomputed pair_order gather."""
+                y_k, wa_k, wpp_k, wpl_k, nrm_k, an_k = args
+                yt = y_k.transpose(1, 2, 3, 0)  # (K, B, 3, C)
+                ykk, yll = yt[kk], yt[ll]  # (T, B, 3, C)
+                xk, yk_, zk = ykk[:, :, 0], ykk[:, :, 1], ykk[:, :, 2]
+                xl, yl_, zl = yll[:, :, 0], yll[:, :, 1], yll[:, :, 2]
+                waT = wa_k.T  # (K, C)
+                ww = (waT[kk] * waT[ll])[:, None, :]  # (T, 1, C)
+                wpt = wpp_k.T[None]  # (1, B, C)
+                w_all = ww * wpt  # (T, B, C): wa_k·wa_l·w_pp per block
+                dot = xk * xl + yk_ * yl_ + zk * zl
+                one = jnp.ones_like(dot)
+                zero = jnp.zeros_like(dot)
+                tl = [
+                    [dot - xl * xk, -xl * yk_, -xl * zk],
+                    [-yl_ * xk, dot - yl_ * yk_, -yl_ * zk],
+                    [-zl * xk, -zl * yk_, dot - zl * zk],
+                ]
+                tr = [
+                    [zero, -zk, yk_],
+                    [zk, zero, -xk],
+                    [-yk_, xk, zero],
+                ]
+                bl_ = [
+                    [zero, zl, -yl_],
+                    [-zl, zero, xl],
+                    [yl_, -xl, zero],
+                ]
+                br = [[one, zero, zero], [zero, one, zero],
+                      [zero, zero, one]]
+                ent = [[None] * 6 for _ in range(6)]
+                for p in range(3):
+                    for q in range(3):
+                        ent[p][q] = w_all * tl[p][q]
+                        ent[p][q + 3] = w_all * tr[p][q]
+                        ent[p + 3][q] = w_all * bl_[p][q]
+                        ent[p + 3][q + 3] = w_all * br[p][q]
+                if plane_terms:
+                    nt = nrm_k.transpose(1, 2, 0)  # (B, 3, C)
+                    nx, ny, nz = nt[:, 0], nt[:, 1], nt[:, 2]
+
+                    def cross_n(x, y, z):
+                        return (y * nz - z * ny, z * nx - x * nz,
+                                x * ny - y * nx)
+
+                    bnk = list(cross_n(xk, yk_, zk)) + [
+                        jnp.broadcast_to(v, xk.shape) for v in (nx, ny, nz)
+                    ]
+                    bnl = list(cross_n(xl, yl_, zl)) + [
+                        jnp.broadcast_to(v, xl.shape) for v in (nx, ny, nz)
+                    ]
+                    wpl_all = ww * wpl_k.T[None]  # (T, B, C)
+                    for p in range(6):
+                        for q in range(6):
+                            ent[p][q] = (
+                                ent[p][q] + wpl_all * bnk[p] * bnl[q]
+                            )
+                a_n, b_n = an_k[:, kk], an_k[:, ll]  # (C, T)
+                swap = (a_n > b_n).T[:, None, :]  # (T, 1, C)
+                hd = half_diag.reshape(-1, 1, 1)  # (T, 1, 1)
+                flat = [
+                    hd * jnp.where(swap, ent[q][p], ent[p][q])
+                    for p in range(6)
+                    for q in range(6)
+                ]
+                soa = jnp.stack(flat, axis=2)  # (T, B, 36, C)
+                return soa.transpose(3, 0, 1, 2).reshape(-1, bsz * pp)
+
+            def chunk_fn(_, args):
+                return jnp.int32(0), chunk_blocks(args)
+
+            _, pair_stacked = jax.lax.scan(
+                chunk_fn, jnp.int32(0), chunk_args
+            )
+            vals = jnp.concatenate(
+                [pair_stacked.reshape(-1, bsz * pp), arc_vals]
+            )
+            compact = jax.ops.segment_sum(
+                vals[graph.pair_order],
+                graph.pair_seg_ids,
+                num_segments=n_seg,
+                indices_are_sorted=True,
+            )
         acc_pairs = (
             jnp.zeros((m * m, bsz * pp), rhs.dtype)
             .at[graph.pair_uniq_keys]

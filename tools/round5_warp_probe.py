@@ -490,6 +490,34 @@ def _heavy_fn(seed, n_ops=120, size=512):
 
 
 
+def part_knn():
+    """VERDICT r4 #4: decompose the 120k kNN cost by k. t(k=1) is the
+    distance+prune+bookkeeping floor with a trivial fold; the gap to
+    t(k=10) is what ANY better top-k fold could recover. If the k=1 floor
+    already exceeds ~65 ms, the self-set bar is physically out of reach
+    for fold-side work alone."""
+    import jax
+
+    from cilantro_tpu.neighbors.pallas_nn import knn_pruned
+    from cilantro_tpu.utils import read_point_cloud
+
+    p1, _, _ = read_point_cloud(
+        "/root/reference/examples/test_clouds/frame_1.ply"
+    )
+    p1j = jax.device_put(p1)
+    for k in (1, 2, 5, 10):
+        fn = jax.jit(lambda q, kk=k: knn_pruned(q, q, kk, exclude_self=True))
+        d, i = fn(p1j)
+        np.asarray(d[:1, :1])
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            d, i = fn(p1j)
+            np.asarray(d[:1, :1])
+            best = min(best, time.perf_counter() - t0)
+        print(f"KNN pruned k={k}: {best*1e3:.1f} ms", flush=True)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     which = sys.argv[1:] or ["2"]
@@ -497,9 +525,11 @@ if __name__ == "__main__":
     for w in which:
         {"1": part_full, "2": part_nn, "3": part_chol,
          "4": part_pieces, "5": part_par, "6": part_sorted,
-         "7": part_cache, "8": part_overlap}[w]()
+         "7": part_cache, "8": part_overlap, "9": part_knn}[w]()
         print(f"-- part {w} done at {time.perf_counter()-t_all:.0f}s",
               flush=True)
+
+
 
 
 
