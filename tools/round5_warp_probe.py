@@ -505,7 +505,7 @@ def part_knn():
         "/root/reference/examples/test_clouds/frame_1.ply"
     )
     p1j = jax.device_put(p1)
-    for k in (1, 2, 5, 10):
+    for k in (2, 3, 5, 10):
         fn = jax.jit(lambda q, kk=k: knn_pruned(q, q, kk, exclude_self=True))
         d, i = fn(p1j)
         np.asarray(d[:1, :1])
