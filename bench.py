@@ -1172,6 +1172,28 @@ def bench_so3(ctx):
         f"{tpu_dt*1e3:.0f} ms vs single-core numpy {cpu_dt*1e3:.0f} ms "
         f"-> {cpu_dt/tpu_dt:.1f}x"
     )
+    # SO2 ((N, 1) planar angles, wrapped squared difference — the
+    # reference's SO2 adaptor) through the same tiled path.
+    a2 = rng.uniform(0, 2 * np.pi, (n, 1)).astype(np.float32)
+    a2j = jax.device_put(a2)
+    fn2 = jax.jit(lambda a: knn(a, a, 10, metric="so2", exclude_self=True))
+    d2_, _ = fn2(a2j)
+    np.asarray(d2_[:1, :1])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        d2_, _ = fn2(a2j)
+        np.asarray(d2_[:1, :1])
+    tpu2 = (time.perf_counter() - t0) / 3
+    t0 = time.perf_counter()
+    for s in range(0, n, 4096):
+        diff = a2[s:s + 4096, 0][:, None] - a2[None, :, 0]
+        wrapped = np.mod(diff + np.pi, 2 * np.pi) - np.pi
+        np.partition(wrapped * wrapped, 11, axis=1)
+    cpu2 = time.perf_counter() - t0
+    log(
+        f"SO2 kNN k=10, {n} unit directions: {tpu2*1e3:.0f} ms vs "
+        f"single-core numpy {cpu2*1e3:.0f} ms -> {cpu2/tpu2:.1f}x"
+    )
 
 
 def main():

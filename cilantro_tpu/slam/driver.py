@@ -54,6 +54,7 @@ def run_fusion_sequence(
     resume_from: Optional[str] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: Optional[int] = None,
+    on_frame=None,
 ) -> Tuple[FusionMap, FusionMetrics]:
     """Run frame-to-model fusion over a depth sequence (world frame = first
     camera). Returns the final map and per-frame metrics.
@@ -63,6 +64,12 @@ def run_fusion_sequence(
     run (the cached index map is part of the saved carry). ``checkpoint_path``
     (+ optional ``checkpoint_every`` frames; default: once at the end) writes
     checkpoints via :mod:`.checkpoint`.
+
+    ``on_frame``: optional ``callback(frame_idx, fmap, pose)`` invoked after
+    each frame on the host loop — the during-run visualization hook (pass a
+    :class:`cilantro_tpu.viz.live.LiveMapViewer` to follow the map in a
+    browser). Its wall time (host fetches included) is EXCLUDED from the
+    reported seconds_per_frame, like checkpoint writes.
     """
     from .checkpoint import load_checkpoint, save_checkpoint
 
@@ -125,6 +132,19 @@ def run_fusion_sequence(
         iters_dev.append(res.iterations)
         if t_first is None:
             t_first = time.perf_counter() - t0
+        if on_frame is not None:
+            # Drain queued device work so the snapshot fetch isn't charged
+            # to the pipeline clock (same discipline as checkpoints).
+            np.asarray(fmap.data[0, 0])
+            tc = time.perf_counter()
+            try:
+                on_frame(fi, fmap, pose)
+            except Exception as e:  # a viewer must never kill the pipeline
+                import sys as _sys
+
+                print(f"[viz.live] on_frame failed at frame {fi}: "
+                      f"{type(e).__name__}: {e}", file=_sys.stderr)
+            t_ckpt += time.perf_counter() - tc
         if (
             checkpoint_path is not None
             and checkpoint_every is not None

@@ -17,3 +17,4 @@ from .interactive import (  # noqa: F401
     Visualizer,
     ImageViewer,
 )
+from .live import LiveMapViewer  # noqa: F401

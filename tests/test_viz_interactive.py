@@ -186,3 +186,28 @@ def test_image_viewer_export(tmp_path):
     b64 = re.search(r"base64,([A-Za-z0-9+/=]+)", html).group(1)
     png = base64.b64decode(b64)
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_live_map_viewer_snapshots(tmp_path):
+    """During-run visualization hook: periodic self-contained HTML
+    snapshots from inside run_fusion_sequence (the reference renders its
+    live map every frame, fusion.cpp:241-250; headless TPU analogue)."""
+    import numpy as np
+
+    from cilantro_tpu.core.rgbd import CameraIntrinsics
+    from cilantro_tpu.slam import run_fusion_sequence, synthetic_sequence
+    from cilantro_tpu.viz import LiveMapViewer
+
+    h, w = 48, 64
+    k = CameraIntrinsics.make(w * 525 / 640, w * 525 / 640,
+                              (w - 1) / 2, (h - 1) / 2)
+    depths, _ = synthetic_sequence(6, h, w, k, seed=2)
+    out = str(tmp_path / "live.html")
+    viewer = LiveMapViewer(out, every=2, subsample=5000)
+    fmap, metrics = run_fusion_sequence(
+        depths, k, map_capacity=4 * h * w, on_frame=viewer
+    )
+    assert viewer.snapshots >= 2
+    html = open(out).read()
+    assert "fusion live" in html and "http-equiv" in html
+    assert len(html) > 10_000  # a real scene payload, not a stub
