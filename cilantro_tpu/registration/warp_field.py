@@ -409,8 +409,11 @@ def estimate_warp_field(
     ``non_rigid_icp.cpp:66-82``: stiffness 200, Huber 1e-2, CG ≤500 @1e-5).
 
     ``node_type='rigid'`` uses small-angle increments ``[δω; δt]`` with SO(D)
-    re-projection; ``'affine'`` uses full linear increments ``[vec(δA); δt]``
-    (the locally-affine solvers, ``warp_field_estimation.hpp:717-995,1848-2236``).
+    re-projection (D ∈ {2, 3} — rotations); ``'affine'`` uses full linear
+    increments ``[vec(δA); δt]`` and, like the reference's general-Dim
+    templates (``warp_field_estimation.hpp:717-995,1848-2236``), works in
+    ANY dimension — tested at D=4 with both solvers
+    (``tests/test_warp_field.py::test_affine_warp_general_dimension``).
 
     ``solver``: ``'cg'`` = matrix-free preconditioned CG (any graph size);
     ``'direct'`` = assemble the dense normal matrix (anchor-pair blocks
