@@ -66,6 +66,10 @@ class SlamConfig:
     run_ba: bool = False  # refine with landmark BA after the pose graph
     ba_match_dist: float = 0.08  # m, landmark association gate
     ba_max_landmarks_per_edge: int = 512
+    # Optional jax.sharding.Mesh: landmark-partitioned Schur BA over a
+    # device mesh (bundle_adjust_sharded) — the BASELINE north star's
+    # distributed backend inside the same loop. None = single device.
+    ba_mesh: Optional[object] = None
     rebuild_map: bool = True  # re-integrate all frames at corrected poses
 
 
@@ -157,13 +161,55 @@ def _refine_ba(
         jnp.asarray(np.stack([p[:3, :3] for p in refined]), jnp.float32),
         jnp.asarray(np.stack([p[:3, 3] for p in refined]), jnp.float32),
     )
-    new_poses, _, _ = bundle_adjust(
-        poses0,
-        jnp.asarray(np.asarray(lmks, np.float32)),
-        jnp.asarray(np.asarray(cam_idx, np.int32)),
-        jnp.asarray(np.asarray(lmk_idx, np.int32)),
-        jnp.asarray(np.asarray(obs, np.float32)),
-    )
+    lmks = np.asarray(lmks, np.float32)
+    cam_idx = np.asarray(cam_idx, np.int32)
+    lmk_idx = np.asarray(lmk_idx, np.int32)
+    obs = np.asarray(obs, np.float32)
+    if cfg.ba_mesh is not None:
+        from .bundle_adjustment import bundle_adjust_sharded
+
+        d_sh = int(cfg.ba_mesh.size)
+        # Pad to a shard-divisible landmark count; every landmark here has
+        # exactly 2 observations, so landmark-sorted observations split
+        # into equal per-shard blocks (pad landmarks get 2 invalid obs).
+        l0 = len(lmks)
+        l_pad = -(-l0 // d_sh) * d_sh
+        if l_pad > l0:
+            lmks = np.concatenate(
+                [lmks, np.zeros((l_pad - l0, 3), np.float32)]
+            )
+            extra = l_pad - l0
+            cam_idx = np.concatenate(
+                [cam_idx, np.zeros(2 * extra, np.int32)]
+            )
+            lmk_idx = np.concatenate(
+                [lmk_idx, np.repeat(np.arange(l0, l_pad), 2)]
+            ).astype(np.int32)
+            obs = np.concatenate(
+                [obs, np.zeros((2 * extra, 3), np.float32)]
+            )
+        valid = np.concatenate(
+            [np.ones(2 * l0, bool), np.zeros(2 * (l_pad - l0), bool)]
+        )
+        lp = l_pad // d_sh
+        order = np.argsort(lmk_idx // lp, kind="stable")
+        new_poses, _, _ = bundle_adjust_sharded(
+            poses0,
+            jnp.asarray(lmks),
+            jnp.asarray(cam_idx[order]),
+            jnp.asarray((lmk_idx[order] % lp).astype(np.int32)),
+            jnp.asarray(obs[order]),
+            jnp.asarray(valid[order]),
+            mesh=cfg.ba_mesh,
+        )
+    else:
+        new_poses, _, _ = bundle_adjust(
+            poses0,
+            jnp.asarray(lmks),
+            jnp.asarray(cam_idx),
+            jnp.asarray(lmk_idx),
+            jnp.asarray(obs),
+        )
     lin = np.asarray(new_poses.linear)
     tr = np.asarray(new_poses.translation)
     out = []

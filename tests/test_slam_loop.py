@@ -86,3 +86,35 @@ def test_integrate_sequence_at_known_poses(tmp_path):
     # All map points lie on the room wall: radius within the waviness band.
     rad = np.linalg.norm(pts[:, [0, 2]], axis=1)
     assert (np.abs(rad - 2.5) < 0.7).mean() > 0.98
+
+
+def test_slam_refine_ba_sharded_matches_single(tmp_path):
+    """run_slam's landmark BA through the landmark-sharded Schur solver on
+    the 8-device virtual mesh agrees with the single-device BA."""
+    import dataclasses
+
+    from cilantro_tpu.parallel import make_mesh
+    from cilantro_tpu.slam import SlamConfig, run_slam
+
+    frames = 24
+    k = _intr()
+    depths, gt = synthetic_panorama_sequence(
+        frames, H, W, k, seed=5, depth_noise=0.006, sweep_deg=360.0,
+        cache_dir=str(tmp_path),
+    )
+    base = SlamConfig(
+        keyframe_every=3, loop_min_separation=3, run_ba=True,
+        rebuild_map=False,
+    )
+    _, res_single = run_slam(
+        depths, k, map_capacity=8 * H * W, slam=base, frontend="scanned"
+    )
+    _, res_sharded = run_slam(
+        depths, k, map_capacity=8 * H * W,
+        slam=dataclasses.replace(base, ba_mesh=make_mesh(8, 1)),
+        frontend="scanned",
+    )
+    # Same front end + graph; the two BA solvers must agree to reduction
+    # order.
+    for a, b in zip(res_single.refined_poses, res_sharded.refined_poses):
+        np.testing.assert_allclose(a, b, atol=5e-4)
