@@ -6,16 +6,17 @@ non-rigid warp, estimation/clustering) logged to stderr.
 Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Structure (VERDICT r3 weak #1: round 3's record was lost to a timeout):
+Structure (r3: a timeout lost the record; r4: budget gates; r5: prewarm):
   * the headline JSON is printed IMMEDIATELY after the fusion stage and its
     CPU denominator — a lost secondary stage can no longer cost the record;
   * the synthetic sequence is memoized to ``.bench_cache/*.npz`` (host-only
     render, no device contact — first contact over the axon tunnel has been
     observed to cost minutes and must not hide inside data generation);
-  * every secondary stage runs under a wall budget (``BENCH_BUDGET_S``,
-    default 520 s — sized for a ~10 min driver timeout with cold AOT
-    compiles) and is skipped with a log line when the remaining budget
-    cannot cover its estimate;
+  * EVERY heavy stage program is background-compiled (threaded AOT
+    lower+compile, measured to overlap) while the headline runs, so the
+    complete suite — including the SLAM-loop and splat-scaling rows — fits
+    the default 520 s budget (~370-460 s measured); the per-stage budget
+    gates remain as a backstop for tunnel stalls;
   * sub-50 ms rows are priced with the two-iteration-count LICM-proof
     method (``cilantro_tpu.utils.honest_timing``) so they measure the chip,
     not the ~25 ms tunnel round trip (VERDICT r3 weak #7).
@@ -44,10 +45,9 @@ BATCH_STREAMS = 8
 BATCH_FRAMES = 12
 
 T_START = time.perf_counter()
-# Default sized for a ~10 min driver timeout with COLD axon AOT compiles
-# (the cache never captures them): the full stage list needs ~920 s cold,
-# so low-value stages self-skip; run with BENCH_BUDGET_S=3000 for the
-# complete record (~15 min).
+# Sized for a ~10 min driver timeout. With the r5 background-compile
+# prewarm the COMPLETE stage list fits this budget (~370-460 s measured
+# cold); the gates only bite when the tunnel stalls.
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "520"))
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
@@ -127,11 +127,6 @@ def compiled_or(name, fallback, wait_s=None):
         return fallback
 
 
-def prewarm_ready(name) -> bool:
-    fut = _PREWARM.get(name)
-    return fut is not None and fut.done() and fut.exception() is None
-
-
 _WARP_KW = dict(
     max_corr_dist_sq=0.0025, point_weight=1.0, plane_weight=0.0,
     stiffness=50.0, max_iterations=10,
@@ -197,7 +192,6 @@ def build_ctx():
     ctx["warp_batched_jit"] = _jax.jit(warp_batched_impl)
 
     levels = ((0.02, 10, 32768, 0.0064), (None, 3, None, 0.01))
-    ctx["icp_levels"] = levels
 
     def rigid_impl(a, b, nb):
         res = icp_multires(
@@ -802,11 +796,15 @@ def _bench_edg_graph_host(src: np.ndarray):
     d2[:, ~nv] = np.inf
     k_anchors, k_arcs = 4, 8
     aidx = np.argpartition(d2, k_anchors - 1, axis=1)[:, :k_anchors]
-    ad2 = np.take_along_axis(d2, aidx, axis=1)
+    # Exact (a−b)² distances for the selected anchors: the ‖a‖²−2ab+‖b‖²
+    # expansion used for SELECTION loses ~0.4% to f32 cancellation at these
+    # scales, which visibly shifts the RBF weights vs the device build.
+    ad2 = np.sum(
+        (src[:, None, :] - nodes[aidx]) ** 2, axis=-1, dtype=np.float64
+    ).astype(np.float32)
     order = np.argsort(ad2, axis=1, kind="stable")
     aidx = np.take_along_axis(aidx, order, axis=1).astype(np.int32)
     ad2 = np.take_along_axis(ad2, order, axis=1)
-    ad2 = np.maximum(ad2, 0.0)
     sigma2 = np.maximum(ad2.max(1, keepdims=True), 1e-12)
     w = np.exp(-0.5 * ad2 / sigma2)
     w = (w / np.maximum(w.sum(1, keepdims=True), 1e-12)).astype(np.float32)

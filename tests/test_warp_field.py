@@ -479,3 +479,42 @@ def test_affine_warp_general_dimension(rng):
         warped = np.asarray(warp_points(graph, tf, jnp.asarray(src)))
         err = np.median(np.linalg.norm(warped - dst, axis=1))
         assert err < 0.05 * scale, (solver, err, scale)
+
+
+def test_bench_host_graph_matches_device_build():
+    """The bench's numpy EDG graph builder must stay semantically
+    identical to build_deformation_graph (it feeds the C++-comparison
+    rows; a silent divergence would corrupt the denominators)."""
+    import sys
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    from bench import _bench_edg_graph_host
+
+    from cilantro_tpu.utils import read_point_cloud
+
+    src, _, _ = read_point_cloud(
+        "/root/reference/examples/test_clouds/frame_1.ply"
+    )
+    src = src[::8]  # 15k points: keep the brute-force matrices small
+    gh = _bench_edg_graph_host(src)
+    # Device twin on the same voxel nodes (so anchor sets are comparable).
+    from cilantro_tpu.registration import build_deformation_graph
+
+    gd = build_deformation_graph(
+        jnp.asarray(src), gh.node_positions, node_valid=gh.node_valid,
+        k_anchors=4, k_arcs=8,
+    )
+    assert int(jnp.sum(gh.node_valid)) == int(jnp.sum(gd.node_valid))
+    # Anchor sets agree point-wise (ordering may differ on exact ties).
+    ah = np.sort(np.asarray(gh.anchors), axis=1)
+    ad = np.sort(np.asarray(gd.anchors), axis=1)
+    same = (ah == ad).all(axis=1)
+    assert same.mean() > 0.999
+    # Weights agree wherever the anchor sets do (exact-tie rows excluded).
+    np.testing.assert_allclose(
+        np.sort(np.asarray(gh.anchor_weights), axis=1)[same],
+        np.sort(np.asarray(gd.anchor_weights), axis=1)[same],
+        atol=2e-4,
+    )
