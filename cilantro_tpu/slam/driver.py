@@ -525,13 +525,14 @@ def run_fusion_sequence_scanned(
         return fmap, mats, iters
 
     # Warm (compile) once — with a hard drain (block_until_ready returns
-    # early on the remote-tunnel backend) — then time best-of-2: the tunnel
-    # shows transient multi-second stalls and a single sample would hand
-    # the headline row to one.
+    # early on the remote-tunnel backend) — then time best-of-3: the tunnel
+    # shows transient multi-second stalls (and background prewarm compiles
+    # once perturbed a sample) — a single sample would hand the headline
+    # row to one.
     fmap, mats, iters = run(fmap0, depth_stack)
     n_map = int(fmap.num_points())
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         fmap, mats, iters = run(fmap0, depth_stack)
         n_map = int(fmap.num_points())

@@ -494,7 +494,7 @@ def run_splat_sequence_scanned(
     np.asarray(mats)  # hard drain: block_until_ready returns early on the
     # remote-tunnel backend and a queued first run would poison the timing
     best = float("inf")
-    for _ in range(2):  # best-of-2 guards against transient tunnel stalls
+    for _ in range(3):  # best-of-3 guards against transient tunnel stalls
         t0 = time.perf_counter()
         (smap, _), mats = run(smap0, depth_stack)
         mats_h = np.asarray(mats)
