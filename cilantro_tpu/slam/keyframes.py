@@ -145,7 +145,7 @@ def detect_loop_closures(
     max_rotation_deg: Optional[float] = None,
     icp_max_corr_dist_sq: float = 0.01,
     icp_levels: Optional[tuple] = None,
-    convergence_tol: float = 1e-4,
+    convergence_tol: float = 1e-5,  # icp_multires' default (unchanged behavior)
     weight: float = 1.0,
 ) -> int:
     """Register spatially-close, temporally-distant keyframe pairs with
