@@ -62,6 +62,10 @@ def main():
     yaw_a = max(rot_err_deg(p, g) for p, g in zip(res.refined_poses, gt))
     print(f"keyframes: {len(res.keyframe_indices)}; "
           f"loop closures: {res.num_loop_closures}")
+    if res.num_loop_closures == 0:
+        print("  (no loop closed: the backend then has nothing to correct "
+              "against — denser sweeps track better; the tested config is "
+              "the default 48 frames)")
     print(f"max orientation error: {yaw_b:.2f} deg (odometry) -> "
           f"{yaw_a:.2f} deg (backend-corrected)")
     print(f"ATE: {ate_rmse(res.odometry_poses, gt)*100:.2f} cm -> "
